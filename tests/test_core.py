@@ -1,0 +1,133 @@
+"""Single-device JAX pipeline vs the numpy oracle (mechanism 2 of
+SURVEY.md §4: implementation cross-check, the analog of the reference's
+serial-vs-CUDA check_ans, parallel-final/main.cu:156)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_lanczos.graphs import generators
+from tpu_lanczos.kernels.formats import pack
+from tpu_lanczos.kernels.spmv import spmv_xla
+from tpu_lanczos.core.pipeline import expm_action
+from tpu_lanczos.core.lanczos import lanczos
+from tpu_lanczos.eval import oracle
+
+
+GRAPHS = {
+    "uniform": lambda: generators.uniform_random(300, 900, seed=2),
+    "barabasi": lambda: generators.barabasi_albert(300, 5, seed=2, use_native=False),
+    "stencil": lambda: generators.stencil_2d(18),
+}
+
+
+@pytest.mark.parametrize("fmt", ["ell", "coo", "hyb"])
+@pytest.mark.parametrize("name", list(GRAPHS))
+def test_spmv_formats_match_scipy(name, fmt):
+    g = GRAPHS[name]()
+    dg = pack(g, fmt=fmt)
+    rng = np.random.default_rng(0)
+    x = np.zeros(dg.n_pad)
+    x[: g.n] = rng.standard_normal(g.n)
+    want = g.to_scipy() @ x[: g.n]
+    got = np.asarray(spmv_xla(dg, jnp.asarray(x)))[: g.n]
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_auto_format_selection():
+    mesh = generators.stencil_2d(30)
+    assert pack(mesh, fmt="auto").fmt == "ell"
+    ba = generators.barabasi_albert(2000, 3, seed=0, use_native=False)
+    assert pack(ba, fmt="auto").fmt in ("hyb", "coo")
+
+
+@pytest.mark.parametrize("name", list(GRAPHS))
+def test_lanczos_matches_oracle_small_k(name):
+    """Before orthogonality decay, two f64 implementations agree tightly.
+    (At larger k, Lanczos amplifies impl-rounding differences chaotically;
+    the reference likewise gated on the final answer, check_ans.cu:11-29.)"""
+    g = GRAPHS[name]()
+    k = 8
+    dg = pack(g)
+    x = np.zeros(dg.n_pad)
+    x[: g.n] = 1.0
+    state = lanczos(dg, jnp.asarray(x), k)
+    ref = oracle.lanczos(g, np.ones(g.n), k)
+    np.testing.assert_allclose(np.asarray(state.alpha), ref.alpha, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(state.beta), ref.beta, rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(state.q_basis)[:, : g.n].T, ref.q_basis, atol=1e-9
+    )
+
+
+@pytest.mark.parametrize("name", list(GRAPHS))
+def test_lanczos_relation_residual(name):
+    """The defining invariant A Q_k = Q_k T_k + beta_k q_{k+1} e_k^T holds
+    regardless of rounding chaos: column-wise residual must be ~eps*||A||."""
+    g = GRAPHS[name]()
+    k = 25
+    dg = pack(g)
+    x = np.zeros(dg.n_pad)
+    x[: g.n] = 1.0
+    state = lanczos(dg, jnp.asarray(x), k)
+    q = np.asarray(state.q_basis)[:, : g.n].T  # (n, k)
+    alpha, beta = np.asarray(state.alpha), np.asarray(state.beta)
+    a = g.to_scipy()
+    t = np.diag(alpha) + np.diag(beta, 1) + np.diag(beta, -1)
+    resid = a @ q[:, : k - 1] - q @ t[:, : k - 1]  # last col needs q_{k+1}
+    scale = np.abs(a).sum(axis=1).max()  # ||A||_inf
+    assert np.abs(resid).max() < 1e-12 * max(scale, 1.0)
+
+
+@pytest.mark.parametrize("name", list(GRAPHS))
+def test_pipeline_cross_impl_f64(name):
+    """f64 JAX pipeline vs numpy oracle — the reference's acceptance bar is
+    rel-norm ~1e-13..1e-16 for doubles (final_output1.txt:31,63,95)."""
+    g = GRAPHS[name]()
+    res = expm_action(g, k=30, dtype="float64")
+    ref = oracle.expm_action(g, np.ones(g.n), 30)
+    assert oracle.rel_error(res.ans, ref) < 1e-12
+
+
+def test_pipeline_vs_dense_ground_truth():
+    g = GRAPHS["uniform"]()
+    res = expm_action(g, k=40, dtype="float64", reorthogonalize=True)
+    ref = oracle.expm_action_dense(g, np.ones(g.n))
+    assert oracle.rel_error(res.ans, ref) < 1e-10
+
+
+def test_f32_pipeline_reasonable():
+    g = GRAPHS["stencil"]()
+    res = expm_action(g, k=30, dtype="float32")
+    ref = oracle.expm_action_dense(g, np.ones(g.n))
+    assert oracle.rel_error(res.ans, ref) < 1e-4
+
+
+def test_log_scale_output_avoids_overflow():
+    """The overflow guard: a graph whose lambda_max makes e^lambda overflow
+    f32 (the reference's NaN hazard, single_double.txt:27-31) must still
+    produce finite scaled output + log_scale."""
+    g = generators.barabasi_albert(400, 20, seed=3, use_native=False)  # dense-ish
+    res32 = expm_action(g, k=30, dtype="float32", log_scale=True)
+    assert np.all(np.isfinite(res32.ans))
+    assert res32.log_scale is not None
+    # ranking agrees with the f64 truth
+    ref = oracle.expm_action(g, np.ones(g.n), 30)
+    top_ref = np.argsort(ref)[-10:]
+    top_got = np.argsort(res32.ans)[-10:]
+    assert len(set(top_ref) & set(top_got)) >= 8
+
+
+def test_convergence_self_consistency():
+    """Mechanism 4: norm(ans_k35 - ans_k30)/norm(ans_k35) small
+    (reference writeup Table 5; write_ans cross-k study)."""
+    g = GRAPHS["uniform"]()
+    a30 = expm_action(g, k=30, dtype="float64").ans
+    a35 = expm_action(g, k=35, dtype="float64").ans
+    assert np.linalg.norm(a35 - a30) / np.linalg.norm(a35) < 1e-8
+
+
+def test_k_clamped_to_n_minus_1():
+    g = generators.uniform_random(20, 40, seed=0)
+    res = expm_action(g, k=50, dtype="float64")
+    assert res.k == 19

@@ -1,0 +1,37 @@
+"""tpu_lanczos — a TPU-native sparse linear-algebra framework for graph
+centrality via the action of the matrix exponential, f(A)x = e^A.x.
+
+Re-designed from scratch for TPU (JAX / XLA / Pallas / shard_map) with the
+capabilities of the CUDA/C++ reference project hdelan/MSc-HPC-Final-Project:
+
+- value-free CSR graph storage with .mtx I/O and random / Barabasi-Albert
+  generators               (reference: */lib/adjMatrix.{h,cc}, make_graph.cc)
+- SpMV kernels (jnp segment/ELL paths + a Pallas row-tiled kernel)
+                            (reference: */lib/SPMV.cc, cu_SPMV.cu)
+- Lanczos tridiagonalization as a single fused lax.fori_loop with
+  device-resident recurrence scalars and optional reorthogonalization
+                            (reference: */lib/lanczos.cc, cu_lanczos.cu)
+- tridiagonal eigendecomposition + Krylov multiply-out
+  ans = ||x|| . Q . V . e^Lambda . V^T e1
+                            (reference: */lib/eigen.cu, multiplyOut.cu)
+- multi-chip scaling via a row-sharded jax.sharding.Mesh with all_gather
+  halo exchange and psum-fused reductions
+                            (reference: parallel-two-cards/lib/cu_lanczos.cu)
+"""
+
+from tpu_lanczos.graphs.csr import CSRGraph
+from tpu_lanczos.graphs import io as graph_io
+from tpu_lanczos.graphs import generators
+from tpu_lanczos.core.pipeline import expm_action, LanczosResult
+from tpu_lanczos.config import Config
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CSRGraph",
+    "graph_io",
+    "generators",
+    "expm_action",
+    "LanczosResult",
+    "Config",
+]

@@ -1,0 +1,41 @@
+"""Single runtime configuration object.
+
+The reference scattered configuration over three tiers — getopt flags,
+compile-time ``#define BLOCKSIZE`` headers rewritten by sweep scripts, and
+edit-the-source toggles (SURVEY.md §5 'Config / flag system';
+parallel-final/lib/helpers.cu:31-63, blocks.h:1, main.cu:111-115).  Here it
+is one dataclass, consumed by the CLI, the pipeline, and the kernels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class Config:
+    # algorithm
+    krylov_dim: int = 50
+    reorthogonalize: bool = False  # full-reorthog variant (ref: decompose_with_arnoldi)
+    dtype: str = "float32"  # "float32" | "float64" (f64 = parity/accuracy runs)
+    # overflow guard: return (vector, log_scale) instead of risking e^lambda
+    # overflow in f32 (the reference's documented NaN hazard,
+    # output/single_double.txt:27-31, writeup §9.3.1)
+    log_scale_output: bool = False
+
+    # device format selection for the sparse matrix
+    fmt: str = "auto"  # "auto" | "ell" | "coo" | "hyb"
+    ell_pct: float = 98.0  # hybrid: ELL width percentile; rest spills to COO
+    row_tile: int = 8  # sublane tiling for padded row counts
+    lane_tile: int = 128  # lane tiling for padded widths / nnz
+
+    # kernel selection
+    spmv_impl: str = "auto"  # "auto" | "jnp" | "pallas"
+
+    # graph source (CLI parity with reference getopt flags -f -k -n -e -b -v,
+    # parallel-final/lib/helpers.cu:31-63)
+    filename: str | None = None
+    n: int = 10000
+    edges: int = 30000
+    barabasi_deg: int = 10
+    verbose: bool = False

@@ -1,0 +1,63 @@
+"""Krylov multiply-out: ans = ||x|| * Q^T V e^Lambda V^T e1.
+
+Reference: parallel-final/lib/multiplyOut.cu:25-49 — exp applied to
+eigenvalues in place, scaled by x_norm * V[0, :], then two GEMVs.  Here the
+k x k stage collapses to a tiny host/device computation of the coefficient
+vector ``tmp = V (e^Lambda * x_norm * V^T e1)`` and the O(nk) GEMV
+``ans = tmp @ Q`` runs on the MXU, fused with the Lanczos program when the
+device eigensolver is used.
+
+The exponential is evaluated in shifted (log-scale) form to neutralize the
+reference's documented f32 overflow hazard (output/single_double.txt:27-31,
+writeup §9.3.1): e^lambda_max overflows f32 beyond lambda_max ~ 88, so we
+compute e^(lambda - lambda_max) and optionally carry log_scale = lambda_max
+separately.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_lanczos.core import tridiag
+from tpu_lanczos.core.lanczos import LanczosState
+
+
+def coefficients(evals, evecs, x_norm, xp=jnp):
+    """tmp = V @ (e^(Lambda - shift) * x_norm * V[0, :]), plus the shift.
+    Works for jnp (on device) or numpy (host) arrays via ``xp``."""
+    shift = evals[-1]  # ascending order; shift by lambda_max
+    w = xp.exp(evals - shift) * (x_norm * evecs[0, :])
+    return evecs @ w, shift
+
+
+def multiply_out(state: LanczosState, log_scale: bool = False):
+    """Fully-on-device multiply-out (jittable; uses the device eigh).
+    Returns ``ans`` (n_pad,) or ``(ans_scaled, log_scale_scalar)``."""
+    evals, evecs = tridiag.eigh_device(state.alpha, state.beta)
+    tmp, shift = coefficients(evals, evecs, state.x_norm)
+    ans_scaled = tmp @ state.q_basis  # (n_pad,) — Q stored (k, n_pad)
+    if log_scale:
+        return ans_scaled, shift
+    return ans_scaled * jnp.exp(shift)
+
+
+@jax.jit
+def _gemv(tmp: jnp.ndarray, q_basis: jnp.ndarray) -> jnp.ndarray:
+    return tmp @ q_basis
+
+
+def multiply_out_host_eig(state: LanczosState, log_scale: bool = False):
+    """Accurate split path: host LAPACK eigensolve of T (float64, the
+    reference's architecture — eigen on CPU even for the CUDA pipelines),
+    then the O(nk) GEMV on device. Not jittable end-to-end (by design)."""
+    evals, evecs = tridiag.eigh_host(
+        np.asarray(state.alpha), np.asarray(state.beta)
+    )
+    tmp, shift = coefficients(evals, evecs, float(state.x_norm), xp=np)
+    dtype = state.q_basis.dtype
+    ans_scaled = _gemv(jnp.asarray(tmp.astype(dtype)), state.q_basis)
+    if log_scale:
+        return ans_scaled, float(shift)
+    return ans_scaled * np.exp(shift).astype(dtype)

@@ -1,0 +1,122 @@
+"""End-to-end single-device pipeline: f(A)x = e^A.x.
+
+The TPU analog of the reference drivers (serial/main.cc:9-94,
+parallel-final/main.cu:34-162): build/pack the graph once on the host, then
+run Lanczos as ONE jitted XLA computation.  Two multiply-out modes:
+
+- ``eig_impl="host"`` (default, accurate): the k x k tridiagonal
+  eigenproblem is solved by LAPACK on the host between two device programs
+  — the same device/host split the reference used (its CUDA pipelines also
+  eigensolve on the CPU, parallel-final/main.cu: eigenDecomp after
+  cu_decompose).  Only 2k scalars move device->host.
+- ``eig_impl="device"``: everything incl. the eigensolve fuses into one
+  jitted program (used by the graft entry and multi-chip dry-runs; on TPU
+  the device eigh has an f32-level accuracy floor).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_lanczos.graphs.csr import CSRGraph
+from tpu_lanczos.kernels.formats import DeviceGraph, pack
+from tpu_lanczos.core.lanczos import lanczos, LanczosState
+from tpu_lanczos.core import expmv
+
+
+@dataclasses.dataclass
+class LanczosResult:
+    """Answer vector plus decomposition byproducts (host-sliced to n)."""
+
+    ans: np.ndarray  # (n,) e^A.x  (scaled if log_scale is set)
+    log_scale: float | None  # if not None, true ans = ans * exp(log_scale)
+    alpha: np.ndarray  # (k,)
+    beta: np.ndarray  # (k-1,)
+    x_norm: float
+    k: int
+
+    def full_ans(self) -> np.ndarray:
+        if self.log_scale is None:
+            return self.ans
+        return self.ans * np.exp(self.log_scale)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "reorthogonalize", "spmv_impl", "log_scale"),
+)
+def expm_action_device(
+    dg: DeviceGraph,
+    x: jnp.ndarray,
+    k: int,
+    reorthogonalize: bool = False,
+    spmv_impl: str = "auto",
+    log_scale: bool = False,
+):
+    """Fully-fused jittable pipeline (device eigensolve).
+    Returns (ans_or_pair, state)."""
+    state = lanczos(dg, x, k, reorthogonalize=reorthogonalize, spmv_impl=spmv_impl)
+    out = expmv.multiply_out(state, log_scale=log_scale)
+    return out, state
+
+
+def pad_vector(x_host: np.ndarray, n_pad: int, dtype) -> jnp.ndarray:
+    x_pad = np.zeros(n_pad, dtype=dtype)
+    x_pad[: x_host.shape[0]] = x_host
+    return jnp.asarray(x_pad)
+
+
+def expm_action(
+    graph: CSRGraph,
+    x: np.ndarray | None = None,
+    k: int = 50,
+    *,
+    dtype: str | jnp.dtype = "float32",
+    fmt: str = "auto",
+    reorthogonalize: bool = False,
+    spmv_impl: str = "auto",
+    log_scale: bool = False,
+    eig_impl: str = "host",
+    dg: DeviceGraph | None = None,
+) -> LanczosResult:
+    """Host-facing driver. ``x`` defaults to all-ones (the centrality
+    start vector, serial/main.cc:79). k clamps to n-1 (serial/main.cc:64)."""
+    k = int(min(k, graph.n - 1))
+    if dg is None:
+        dg = pack(graph, fmt=fmt)
+    dtype = jnp.dtype(dtype)
+    x_host = np.ones(graph.n) if x is None else np.asarray(x)
+    x_dev = pad_vector(x_host, dg.n_pad, dtype)
+
+    if eig_impl == "host":
+        state = lanczos(
+            dg, x_dev, k, reorthogonalize=reorthogonalize, spmv_impl=spmv_impl
+        )
+        out = expmv.multiply_out_host_eig(state, log_scale=log_scale)
+    else:
+        out, state = expm_action_device(
+            dg,
+            x_dev,
+            k,
+            reorthogonalize=reorthogonalize,
+            spmv_impl=spmv_impl,
+            log_scale=log_scale,
+        )
+    if log_scale:
+        ans, shift = out
+        shift_val = float(shift)
+    else:
+        ans, shift_val = out, None
+    return LanczosResult(
+        ans=np.asarray(ans)[: graph.n],
+        log_scale=shift_val,
+        alpha=np.asarray(state.alpha),
+        beta=np.asarray(state.beta),
+        x_norm=float(state.x_norm),
+        k=k,
+    )

@@ -1,0 +1,106 @@
+"""Seeded graph generators: uniform-random and Barabasi-Albert.
+
+Reference capabilities (serial/lib/make_graph.cc:19-113, dispatch
+parallel-final/lib/adjMatrix.cc:79-103):
+  - ``random_adj(N, E)``     — E distinct uniform-random undirected edges
+  - ``barabasi(N, m)``       — preferential attachment: a complete seed
+    graph on m+1 nodes, then each new node attaches m edges with
+    probability proportional to current degree.
+
+Re-implemented here with numpy vectorization (the reference used
+std::set-based rejection loops).  The C++ native generator in
+``native/graphcore.cc`` is preferred automatically for large n; this module
+is the portable fallback and the semantics oracle for it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tpu_lanczos.graphs.csr import CSRGraph
+
+
+def uniform_random(n: int, num_edges: int, seed: int = 0) -> CSRGraph:
+    """Graph with ``num_edges`` distinct uniform-random undirected edges.
+
+    Rejection-free: oversample pairs, dedup, repeat until enough distinct
+    edges exist, then truncate deterministically.
+    """
+    if num_edges > n * (n - 1) // 2:
+        raise ValueError("more edges requested than pairs available")
+    rng = np.random.default_rng(seed)
+    chosen = np.zeros((0,), dtype=np.int64)
+    while chosen.size < num_edges:
+        need = num_edges - chosen.size
+        cand = rng.integers(0, n, size=(int(need * 1.5) + 16, 2), dtype=np.int64)
+        cand = cand[cand[:, 0] != cand[:, 1]]
+        lo = np.minimum(cand[:, 0], cand[:, 1])
+        hi = np.maximum(cand[:, 0], cand[:, 1])
+        keys = lo * np.int64(n) + hi
+        chosen = np.unique(np.concatenate([chosen, keys]))
+    # deterministic truncation: keep a random subset of exactly num_edges
+    if chosen.size > num_edges:
+        keep = rng.choice(chosen.size, size=num_edges, replace=False)
+        chosen = chosen[np.sort(keep)]
+    edges = np.stack([chosen // n, chosen % n], axis=1)
+    return CSRGraph.from_edges(n, edges)
+
+
+def barabasi_albert(n: int, m: int, seed: int = 0, use_native: bool = True) -> CSRGraph:
+    """Barabasi-Albert preferential attachment.
+
+    Seed: complete graph on m+1 nodes (as in serial/lib/make_graph.cc —
+    "complete-kernel seed of m+1 nodes"); then nodes m+1..n-1 each attach
+    ``m`` edges to distinct existing nodes, sampled degree-proportionally
+    via the repeated-endpoints trick (every stored edge endpoint appears
+    once in the pool, so a uniform draw from the pool is degree-weighted).
+    """
+    if m < 1 or n < m + 1:
+        raise ValueError("need n >= m+1 and m >= 1")
+    if use_native:
+        try:
+            from tpu_lanczos.graphs import native
+
+            if native.available():
+                return native.barabasi_albert(n, m, seed)
+        except Exception:
+            pass
+    rng = np.random.default_rng(seed)
+    seed_nodes = m + 1
+    # complete seed graph edge list
+    iu, ju = np.triu_indices(seed_nodes, k=1)
+    n_seed_edges = iu.size
+    total_edges = n_seed_edges + (n - seed_nodes) * m
+    src = np.empty(total_edges, dtype=np.int64)
+    dst = np.empty(total_edges, dtype=np.int64)
+    src[:n_seed_edges] = iu
+    dst[:n_seed_edges] = ju
+    # endpoint pool: both endpoints of every edge so far
+    pool = np.empty(2 * total_edges, dtype=np.int64)
+    pool[: 2 * n_seed_edges : 2] = iu
+    pool[1 : 2 * n_seed_edges : 2] = ju
+    e = n_seed_edges
+    for v in range(seed_nodes, n):
+        # sample m distinct degree-proportional targets
+        targets = np.unique(pool[rng.integers(0, 2 * e, size=m)])
+        while targets.size < m:
+            extra = pool[rng.integers(0, 2 * e, size=m)]
+            targets = np.unique(np.concatenate([targets, extra]))[:m]
+        src[e : e + m] = v
+        dst[e : e + m] = targets
+        pool[2 * e : 2 * (e + m) : 2] = v
+        pool[2 * e + 1 : 2 * (e + m) + 1 : 2] = targets
+        e += m
+    edges = np.stack([src, dst], axis=1)
+    return CSRGraph.from_edges(n, edges)
+
+
+def stencil_2d(side: int) -> CSRGraph:
+    """5-point 2D grid graph (the reference declared a stencil generator but
+    left it a stub — serial/lib/make_graph.cc 'stencil stub (allocates
+    only)'; here it is implemented, useful as a mesh-like low-degree case)."""
+    n = side * side
+    idx = np.arange(n).reshape(side, side)
+    right = np.stack([idx[:, :-1].ravel(), idx[:, 1:].ravel()], axis=1)
+    down = np.stack([idx[:-1, :].ravel(), idx[1:, :].ravel()], axis=1)
+    return CSRGraph.from_edges(n, np.concatenate([right, down], axis=0))

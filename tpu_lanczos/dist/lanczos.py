@@ -1,0 +1,178 @@
+"""Row-sharded Lanczos + pipeline over a 1-D device mesh (shard_map).
+
+Communication pattern per iteration — exactly the reference's dual-GPU
+pattern (parallel-two-cards/lib/cu_lanczos.cu:114-169) recast as mesh
+collectives:
+
+  reference (2 GPUs, PCIe)                TPU mesh (N chips, ICI)
+  ------------------------                -----------------------
+  cudaMemcpyPeer broadcast of q (n words) all_gather of q shards
+  gather half-result to GPU0 (n/2 words)  (not needed: y stays sharded)
+  all dots/norms reduced on GPU0 only     psum across shards
+  Q column D2H + host transpose           Q stays sharded on-device (k, n_loc)
+
+The whole k-step loop is ONE ``lax.fori_loop`` inside ONE ``shard_map``
+under jit: no per-iteration dispatch, no host syncs — the failure mode
+that made the reference's two-card version slower than serial (writeup
+Table 4) is structurally absent.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_lanczos.core.lanczos import LanczosState
+from tpu_lanczos.core import expmv
+from tpu_lanczos.dist.mesh import ROWS
+from tpu_lanczos.dist.partition import ShardedGraph
+from tpu_lanczos.graphs.csr import CSRGraph
+
+
+def _local_spmv(ell_idx, ell_deg, coo_rows, coo_cols, x_full, n_loc):
+    """Per-shard SpMV of the local row block against the full vector.
+
+    ell_idx (w, n_loc) global col ids; coo_* (spill_pad,) with LOCAL rows.
+    Returns the local (n_loc,) slice of y = A x.
+    """
+    w = ell_idx.shape[0]
+    gathered = jnp.take(x_full, ell_idx, axis=0)  # (w, n_loc)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, gathered.shape, 0)
+    mask = slot_ids < ell_deg[None, :]
+    y = jnp.sum(jnp.where(mask, gathered, jnp.zeros((), x_full.dtype)), axis=0)
+    spill_vals = jnp.take(x_full, coo_cols, axis=0)
+    y_spill = jax.ops.segment_sum(
+        spill_vals, coo_rows, num_segments=n_loc + 1, indices_are_sorted=True
+    )
+    return y + y_spill[:n_loc]
+
+
+def _pdot(a, b):
+    return jax.lax.psum(
+        jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST), ROWS
+    )
+
+
+@partial(
+    jax.jit, static_argnames=("mesh", "k", "n_loc", "reorthogonalize")
+)
+def _lanczos_shmap(mesh, ell_indices, ell_degrees, coo_rows, coo_cols, x,
+                   k, n_loc, reorthogonalize):
+    """jitted shard_map wrapper (mesh is static — it keys the jit cache)."""
+    P = jax.sharding.PartitionSpec
+
+    def f(ell_idx, ell_deg, coo_rows, coo_cols, x_loc):
+        # per-shard shapes: ell (w, n_loc), deg (n_loc,), coo (1, S), x (n_loc,)
+        coo_rows_l = coo_rows[0]
+        coo_cols_l = coo_cols[0]
+        dtype = x_loc.dtype
+
+        x_norm = jnp.sqrt(_pdot(x_loc, x_loc))
+        q = x_loc / x_norm
+        # mark the basis store as device-varying so the fori_loop carry type
+        # is consistent (shard_map vma checking)
+        q_basis = jax.lax.pcast(
+            jnp.zeros((k, n_loc), dtype=dtype), (ROWS,), to="varying"
+        )
+        alpha = jnp.zeros((k,), dtype=dtype)
+        beta = jnp.zeros((k,), dtype=dtype)
+
+        def body(j, carry):
+            q, q_prev, q_basis, alpha, beta = carry
+            q_basis = jax.lax.dynamic_update_slice(q_basis, q[None, :], (j, 0))
+            q_full = jax.lax.all_gather(q, ROWS, tiled=True)  # (n_pad,) halo
+            v = _local_spmv(ell_idx, ell_deg, coo_rows_l, coo_cols_l, q_full, n_loc)
+            a = _pdot(v, q)
+            alpha = alpha.at[j].set(a)
+            b_prev = jnp.where(j > 0, beta[jnp.maximum(j - 1, 0)], jnp.zeros((), dtype))
+            v = v - a * q - b_prev * q_prev
+            if reorthogonalize:
+                proj = jnp.dot(q_basis, v, precision=jax.lax.Precision.HIGHEST)
+                proj = jax.lax.psum(proj, ROWS)  # (k,)
+                row_ids = jax.lax.broadcasted_iota(jnp.int32, (k,), 0)
+                proj = jnp.where(row_ids <= j, proj, jnp.zeros((), dtype))
+                v = v - jnp.dot(proj, q_basis, precision=jax.lax.Precision.HIGHEST)
+            b = jnp.sqrt(_pdot(v, v))
+            beta = beta.at[j].set(b)
+            q_next = jnp.where(b > 0, v / jnp.where(b > 0, b, 1), jnp.zeros_like(v))
+            return (q_next, q, q_basis, alpha, beta)
+
+        init = (q, jnp.zeros_like(q), q_basis, alpha, beta)
+        _, _, q_basis, alpha, beta = jax.lax.fori_loop(0, k, body, init)
+        return alpha, beta, q_basis, x_norm
+
+    return jax.shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(P(None, ROWS), P(ROWS), P(ROWS, None), P(ROWS, None), P(ROWS)),
+        out_specs=(P(), P(), P(None, ROWS), P()),
+    )(ell_indices, ell_degrees, coo_rows, coo_cols, x)
+
+
+def lanczos_sharded(
+    sg: ShardedGraph,
+    x: jnp.ndarray,
+    k: int,
+    mesh: jax.sharding.Mesh,
+    reorthogonalize: bool = False,
+) -> LanczosState:
+    """k-step Lanczos on the row-sharded graph. ``x`` is (n_pad,) in
+    permuted order (see ShardedGraph.permute_in), sharded or shardable
+    over the mesh. Returns alpha/beta/x_norm replicated and q_basis
+    (k, n_pad) sharded over columns."""
+    alpha, beta, q_basis, x_norm = _lanczos_shmap(
+        mesh, sg.ell_indices, sg.ell_degrees, sg.coo_rows, sg.coo_cols, x,
+        k=k, n_loc=sg.n_loc, reorthogonalize=reorthogonalize,
+    )
+    return LanczosState(
+        alpha=alpha, beta=beta[: k - 1], q_basis=q_basis, x_norm=x_norm
+    )
+
+
+def expm_action_sharded(
+    graph: CSRGraph | ShardedGraph,
+    x: np.ndarray | None = None,
+    k: int = 50,
+    *,
+    mesh: jax.sharding.Mesh,
+    dtype="float32",
+    fmt: str = "auto",
+    reorthogonalize: bool = False,
+    log_scale: bool = False,
+    eig_impl: str = "host",
+):
+    """Multi-chip e^A.x. Accepts a host CSRGraph (packs it for the mesh)
+    or a pre-packed ShardedGraph. Returns (ans (n,) numpy in ORIGINAL
+    vertex order, state, sharded_graph)."""
+    from tpu_lanczos.dist.partition import pack_sharded
+
+    if isinstance(graph, ShardedGraph):
+        sg = graph
+        n = sg.n
+    else:
+        n = graph.n
+        sg = pack_sharded(graph, mesh.shape[ROWS], fmt=fmt, mesh=mesh)
+    k = int(min(k, n - 1))
+    dtype = jnp.dtype(dtype)
+
+    x_host = np.ones(n) if x is None else np.asarray(x)
+    P = jax.sharding.PartitionSpec
+    x_dev = jax.device_put(
+        jnp.asarray(sg.permute_in(x_host, dtype)),
+        jax.sharding.NamedSharding(mesh, P(ROWS)),
+    )
+    state = lanczos_sharded(sg, x_dev, k, mesh, reorthogonalize=reorthogonalize)
+
+    if eig_impl == "host":
+        out = expmv.multiply_out_host_eig(state, log_scale=log_scale)
+    else:
+        out = expmv.multiply_out(state, log_scale=log_scale)
+    if log_scale:
+        ans_pad, shift = out
+        ans = sg.permute_out(np.asarray(ans_pad))
+        return ans, float(shift), state, sg
+    ans = sg.permute_out(np.asarray(out))
+    return ans, None, state, sg

@@ -20,14 +20,25 @@ import numpy as np
 from tpu_lanczos.graphs.csr import CSRGraph
 
 
-def uniform_random(n: int, num_edges: int, seed: int = 0) -> CSRGraph:
+def uniform_random(
+    n: int, num_edges: int, seed: int = 0, use_native: bool = False
+) -> CSRGraph:
     """Graph with ``num_edges`` distinct uniform-random undirected edges.
 
     Rejection-free: oversample pairs, dedup, repeat until enough distinct
-    edges exist, then truncate deterministically.
+    edges exist, then truncate deterministically.  With ``use_native`` the
+    C++ core generates the graph (different RNG stream, same distribution).
     """
     if num_edges > n * (n - 1) // 2:
         raise ValueError("more edges requested than pairs available")
+    if use_native:
+        try:
+            from tpu_lanczos.graphs import native
+
+            if native.available():
+                return native.uniform_random(n, num_edges, seed)
+        except Exception:
+            pass
     rng = np.random.default_rng(seed)
     chosen = np.zeros((0,), dtype=np.int64)
     while chosen.size < num_edges:

@@ -1,0 +1,93 @@
+"""Headline benchmark: Lanczos k=50 on the reference's flagship graph.
+
+Reproduces the reference's headline configuration — Barabasi-Albert
+n=1,000,000, m=10 (the 'bn1000000e9999944' graph), krylov_dim=50 — and
+times the full Lanczos decomposition on the device, comparing against the
+reference's CUDA time on an RTX 2080 Super: 0.4166 s
+(parallel-final/output/final_output1.txt:16; BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": "lanczos_k50_bn1M", "value": <seconds>, "unit": "s",
+   "vs_baseline": <ref_time / our_time>}   (>1 means faster than the ref)
+
+Timing protocol: compile and H2D transfer excluded (first run warms the
+jit cache); the median of 5 runs is reported; completion is forced by a
+host fetch of alpha (the decomposition's output scalars), mirroring the
+reference's cudaEvent bracketing of the decompose call
+(parallel-final/main.cu:115-121, helpers.cu:14-29).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REF_CUDA_LANCZOS_S = 0.4166  # final_output1.txt:16 (k=50, double, RTX 2080S)
+N, M, K, SEED = 1_000_000, 10, 50, 0
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def load_graph():
+    from tpu_lanczos.graphs.csr import CSRGraph
+
+    os.makedirs(CACHE, exist_ok=True)
+    p = os.path.join(CACHE, f"ba_{N}_{M}_{SEED}.npz")
+    if os.path.exists(p):
+        z = np.load(p)
+        return CSRGraph(indptr=z["indptr"], indices=z["indices"], n=int(z["n"]))
+    from tpu_lanczos.graphs import generators
+
+    t0 = time.time()
+    g = generators.barabasi_albert(N, M, seed=SEED)
+    log(f"generated BA graph in {time.time()-t0:.1f}s (nnz={g.nnz})")
+    np.savez(p, indptr=g.indptr, indices=g.indices, n=g.n)
+    return g
+
+
+def main():
+    import jax
+
+    g = load_graph()
+    from tpu_lanczos.core.pipeline import best_device_pack, pad_vector
+    from tpu_lanczos.core.lanczos import lanczos
+
+    t0 = time.time()
+    dg = best_device_pack(g)
+    log(f"packed ({type(dg).__name__}) in {time.time()-t0:.1f}s")
+    x = pad_vector(np.ones(g.n), dg.n_pad, np.float32)
+
+    def run():
+        st = lanczos(dg, x, K)
+        alpha = np.asarray(st.alpha)  # forces completion through the tunnel
+        return st, alpha
+
+    t0 = time.time()
+    st, alpha = run()
+    log(f"first run (compile+exec): {time.time()-t0:.1f}s")
+    assert np.all(np.isfinite(alpha)), "non-finite alpha"
+
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    t = float(np.median(times))
+    log(f"runs: {[round(x, 4) for x in times]}")
+    log(f"nnz/s: {g.nnz * K / t / 1e9:.2f}G")
+
+    print(json.dumps({
+        "metric": "lanczos_k50_bn1M",
+        "value": round(t, 4),
+        "unit": "s",
+        "vs_baseline": round(REF_CUDA_LANCZOS_S / t, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Auxiliary subsystems: CLI, answer checking/persistence, checkpoint/resume."""
+
+import numpy as np
+import pytest
+
+from tpu_lanczos.graphs import generators
+from tpu_lanczos.eval import oracle
+from tpu_lanczos.eval.check import check_ans, write_ans, read_ans, convergence_study
+from tpu_lanczos.core.pipeline import expm_action, pad_vector
+from tpu_lanczos.core.checkpoint import lanczos_checkpointed, LanczosCheckpoint
+from tpu_lanczos.core.lanczos import lanczos
+from tpu_lanczos.core import expmv
+from tpu_lanczos.kernels.formats import pack
+
+
+def test_check_ans_metrics():
+    a = np.array([1.0, 2.0, 3.0])
+    b = np.array([1.0, 2.5, 3.0])
+    rep = check_ans(a, b)
+    assert rep.max_abs_diff == 0.5
+    assert rep.max_abs_diff_index == 1
+    assert abs(rep.max_rel_diff - 0.2) < 1e-12
+    assert rep.rel_diff_norm > 0
+
+
+def test_write_read_ans_roundtrip(tmp_path):
+    ans = np.random.default_rng(0).standard_normal(100)
+    p = str(tmp_path / "ans50.txt")
+    write_ans(ans, p)
+    back = read_ans(p)
+    np.testing.assert_allclose(back, ans, rtol=0, atol=0)  # 20 digits exact
+
+
+def test_convergence_study():
+    g = generators.uniform_random(300, 900, seed=2)
+
+    def run(k):
+        return expm_action(g, k=k, dtype="float64").ans
+
+    out = convergence_study(run, [10, 20, 30])
+    assert out[(20, 30)] < out[(10, 20)]
+    assert out[(20, 30)] < 1e-6
+
+
+def test_checkpoint_resume_bit_identical(tmp_path):
+    """Interrupted + resumed run must equal the uninterrupted run exactly."""
+    g = generators.uniform_random(400, 1200, seed=5)
+    dg = pack(g)
+    x = pad_vector(np.ones(g.n), dg.n_pad, np.float64)
+    k = 24
+    p = str(tmp_path / "ck.npz")
+
+    # straight-through run
+    ref = lanczos(dg, x, k)
+
+    # chunked run completes and leaves a full checkpoint
+    lanczos_checkpointed(dg, x, k, checkpoint_path=p, chunk=7)
+    assert LanczosCheckpoint.load(p).j_done == k
+
+    # simulate an interrupted run: build a genuine snapshot at j=14, then
+    # resume from it
+    from tpu_lanczos.core.lanczos import lanczos_init, lanczos_range
+
+    carry, x_norm = lanczos_init(dg, x, k)
+    carry = lanczos_range(dg, carry, 0, 14)
+    LanczosCheckpoint(
+        j_done=14, k=k,
+        q=np.asarray(carry[0]), q_prev=np.asarray(carry[1]),
+        q_basis=np.asarray(carry[2]), alpha=np.asarray(carry[3]),
+        beta=np.asarray(carry[4]), x_norm=float(x_norm),
+    ).save(p)
+    resumed = lanczos_checkpointed(dg, x, k, checkpoint_path=p, chunk=7)
+
+    np.testing.assert_array_equal(np.asarray(resumed.alpha), np.asarray(ref.alpha))
+    np.testing.assert_array_equal(np.asarray(resumed.beta), np.asarray(ref.beta))
+    np.testing.assert_array_equal(
+        np.asarray(resumed.q_basis), np.asarray(ref.q_basis)
+    )
+
+
+def test_checkpointed_pipeline_answer(tmp_path):
+    g = generators.uniform_random(400, 1200, seed=5)
+    dg = pack(g)
+    x = pad_vector(np.ones(g.n), dg.n_pad, np.float64)
+    state = lanczos_checkpointed(
+        dg, x, 30, checkpoint_path=str(tmp_path / "c.npz"), chunk=11
+    )
+    ans = np.asarray(expmv.multiply_out_host_eig(state))[: g.n]
+    ref = oracle.expm_action(g, np.ones(g.n), 30)
+    assert oracle.rel_error(ans, ref) < 1e-12
+
+
+def test_cli_generated_graph(capsys):
+    from tpu_lanczos.cli.main import main
+
+    rc = main(["-n", "500", "-e", "1500", "-k", "20", "--dtype", "float64", "-v"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "speedup vs serial" in out
+    assert "device vs serial" in out
+    assert "top-10 central nodes" in out
+    # acceptance: f64 rel norm ~1e-13..1e-16 (reference final_output1.txt:31)
+    rel = float(out.split("relative ")[1].split(")")[0])
+    assert rel < 1e-10
+
+
+def test_cli_mtx_and_write_ans(tmp_path, capsys):
+    from tpu_lanczos.graphs import io as gio
+    from tpu_lanczos.cli.main import main
+
+    g = generators.uniform_random(200, 600, seed=1)
+    p = str(tmp_path / "g.mtx")
+    gio.write_mtx(g, p)
+    ap = str(tmp_path / "ans.txt")
+    rc = main(["-f", p, "-k", "15", "--dtype", "float64", "--write-ans", ap])
+    assert rc == 0
+    ans = read_ans(ap)
+    ref = oracle.expm_action(g, np.ones(g.n), 15)
+    assert oracle.rel_error(ans, ref) < 1e-10
+
+
+def test_cli_sharded(capsys):
+    from tpu_lanczos.cli.main import main
+
+    rc = main(["-n", "400", "-e", "1200", "-k", "15", "--dtype", "float64",
+               "--shards", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "4-shard mesh" in out

@@ -1,0 +1,154 @@
+"""CLI driver with the reference's flag surface and output shape.
+
+Reference: getopt flags ``-f file -k krylov_dim -n n -e edges -b
+barabasi_deg -v`` (parallel-final/lib/helpers.cu:31-63) and the
+serial+device dual-pipeline driver that times each stage, prints a
+speedup table, cross-checks answers, and optionally persists them
+(parallel-final/main.cu:34-162).
+
+Here the "serial" pipeline is the numpy/scipy oracle and the "device"
+pipeline is the JAX one (single chip, or row-sharded with --shards).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tpu_lanczos",
+        description="e^A.x graph centrality via TPU-native Lanczos",
+    )
+    p.add_argument("-f", "--file", help=".mtx adjacency file")
+    p.add_argument("-k", "--krylov", type=int, default=50, help="Krylov dim")
+    p.add_argument("-n", type=int, default=10000, help="nodes (generated)")
+    p.add_argument("-e", "--edges", type=int, default=30000,
+                   help="edges for uniform-random generation")
+    p.add_argument("-b", "--barabasi", type=int, default=None, metavar="DEG",
+                   help="generate Barabasi-Albert with this degree instead")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--dtype", default="float32", choices=["float32", "float64"])
+    p.add_argument("--fmt", default="auto", choices=["auto", "ell", "coo", "hyb"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--shards", type=int, default=0,
+                   help="row-shard over this many devices (0 = single device)")
+    p.add_argument("--reorthogonalize", action="store_true")
+    p.add_argument("--log-scale", action="store_true",
+                   help="return e^(A - lambda_max I).x plus the shift "
+                        "(avoids f32 overflow)")
+    p.add_argument("--no-serial", action="store_true",
+                   help="skip the numpy oracle pass (large graphs)")
+    p.add_argument("--write-ans", metavar="PATH",
+                   help="write the answer vector (20 digits) to PATH")
+    p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
+                   help="force a JAX platform before first device use")
+    return p
+
+
+def load_graph(args):
+    from tpu_lanczos.graphs import generators, io as gio
+
+    if args.file:
+        g = gio.read_mtx(args.file)
+        src = args.file
+    elif args.barabasi is not None:
+        g = generators.barabasi_albert(args.n, args.barabasi, seed=args.seed)
+        src = f"barabasi(n={args.n}, m={args.barabasi}, seed={args.seed})"
+    else:
+        g = generators.uniform_random(args.n, args.edges, seed=args.seed)
+        src = f"uniform(n={args.n}, E={args.edges}, seed={args.seed})"
+    return g, src
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    t0 = time.time()
+    g, src = load_graph(args)
+    t_load = time.time() - t0
+    k = min(args.krylov, g.n - 1)
+    print(f"graph: {src}")
+    print(f"  n = {g.n}, undirected edges = {g.edge_count} (nnz = {g.nnz}), "
+          f"max degree = {g.max_degree}  [{t_load:.3f}s]")
+    print(f"krylov dim: {k}")
+
+    # ---------------- serial oracle pass (reference: serial pipeline first,
+    # parallel-final/main.cu:69-106)
+    ans_serial = None
+    t_serial = None
+    if not args.no_serial:
+        from tpu_lanczos.eval import oracle
+
+        t0 = time.time()
+        ans_serial = oracle.expm_action(g, np.ones(g.n), k)
+        t_serial = time.time() - t0
+        print(f"serial (numpy f64) pipeline: {t_serial:.4f}s")
+
+    # ---------------- device pass
+    t0 = time.time()
+    if args.shards:
+        import jax
+        from tpu_lanczos.dist import make_mesh, expm_action_sharded
+
+        mesh = make_mesh(args.shards)
+        ans, shift, state, _ = expm_action_sharded(
+            g, k=k, mesh=mesh, dtype=args.dtype, fmt=args.fmt,
+            reorthogonalize=args.reorthogonalize, log_scale=args.log_scale,
+        )
+        if shift is not None and not args.log_scale:
+            shift = None
+    else:
+        from tpu_lanczos.core.pipeline import expm_action
+
+        res = expm_action(
+            g, k=k, dtype=args.dtype, fmt=args.fmt,
+            reorthogonalize=args.reorthogonalize, log_scale=args.log_scale,
+        )
+        ans, shift = res.ans, res.log_scale
+    t_device = time.time() - t0
+    label = f"{args.shards}-shard mesh" if args.shards else "device"
+    print(f"{label} pipeline ({args.dtype}): {t_device:.4f}s "
+          f"(includes compile on first run)")
+    if shift is not None:
+        print(f"  log-scale shift: {shift:.6f} (true ans = ans * e^shift)")
+    if t_serial is not None and t_device > 0:
+        print(f"speedup vs serial: {t_serial / t_device:.2f}x")
+
+    # ---------------- cross-check (reference: check_ans, main.cu:156)
+    if ans_serial is not None:
+        from tpu_lanczos.eval.check import check_ans
+
+        a = ans if shift is None else ans * np.exp(shift)
+        if np.all(np.isfinite(a)) and np.all(np.isfinite(ans_serial)):
+            print(f"device vs serial: {check_ans(a, ans_serial)}")
+        else:
+            # overflow regime: compare direction only (the reference printed
+            # inf/nan here — final_output1.txt:154-159; we do better)
+            an = ans / np.linalg.norm(ans)
+            bs = ans_serial / np.linalg.norm(ans_serial)
+            print(f"device vs serial (normalized; e^lambda overflow): "
+                  f"rel diff {np.linalg.norm(an - bs):.3e}")
+
+    if args.verbose:
+        a = ans if shift is None else ans
+        top = np.argsort(a)[-10:][::-1]
+        print("top-10 central nodes:", ", ".join(map(str, top)))
+
+    if args.write_ans:
+        from tpu_lanczos.eval.check import write_ans
+
+        write_ans(ans, args.write_ans)
+        print(f"answer written to {args.write_ans}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

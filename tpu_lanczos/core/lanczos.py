@@ -56,28 +56,25 @@ def _dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
-@partial(jax.jit, static_argnames=("k", "reorthogonalize", "spmv_impl"))
-def lanczos(
+@partial(jax.jit, static_argnames=("reorthogonalize", "spmv_impl"))
+def lanczos_range(
     dg: DeviceGraph,
-    x: jnp.ndarray,
-    k: int,
+    carry,
+    j0,
+    j1,
     reorthogonalize: bool = False,
     spmv_impl: str = "auto",
-) -> LanczosState:
-    """k-step Lanczos on A given by ``dg``; x is (n_pad,), zero-padded.
+):
+    """Run iterations [j0, j1) of the recurrence on a loop carry
+    ``(q, q_prev, q_basis, alpha, beta)`` with k-sized buffers.
 
-    Matches the reference recurrence order exactly (serial/lib/lanczos.cc:
-    9-56): v = A q_j; alpha_j = <v, q_j>; v -= alpha_j q_j + beta_{j-1}
-    q_{j-1}; beta_j = ||v||; q_{j+1} = v / beta_j.
+    Exposed separately so checkpoint/resume (core/checkpoint.py) can run
+    the decomposition in restartable chunks — an improvement slot over
+    the reference, which had no in-algorithm checkpointing (SURVEY.md §5).
+    ``j0``/``j1`` may be traced values: one compilation serves any chunk.
     """
-    dtype = x.dtype
-    n_pad = dg.n_pad
-    x_norm = jnp.sqrt(_dot(x, x))
-    q0 = x / x_norm
-
-    q_basis = jnp.zeros((k, n_pad), dtype=dtype)
-    alpha = jnp.zeros((k,), dtype=dtype)
-    beta = jnp.zeros((k,), dtype=dtype)  # slot k-1 written but unused
+    k = carry[2].shape[0]
+    dtype = carry[0].dtype
 
     def body(j, carry):
         q, q_prev, q_basis, alpha, beta = carry
@@ -98,7 +95,40 @@ def lanczos(
         q_next = jnp.where(b > 0, v / jnp.where(b > 0, b, 1), jnp.zeros_like(v))
         return (q_next, q, q_basis, alpha, beta)
 
-    init = (q0, jnp.zeros_like(q0), q_basis, alpha, beta)
-    _, _, q_basis, alpha, beta = jax.lax.fori_loop(0, k, body, init)
+    return jax.lax.fori_loop(j0, j1, body, carry)
 
+
+def lanczos_init(dg: DeviceGraph, x: jnp.ndarray, k: int):
+    """Initial carry for ``lanczos_range``. Returns (carry, x_norm)."""
+    dtype = x.dtype
+    x_norm = jnp.sqrt(_dot(x, x))
+    q0 = x / x_norm
+    carry = (
+        q0,
+        jnp.zeros_like(q0),
+        jnp.zeros((k, dg.n_pad), dtype=dtype),
+        jnp.zeros((k,), dtype=dtype),
+        jnp.zeros((k,), dtype=dtype),  # beta; slot k-1 written but unused
+    )
+    return carry, x_norm
+
+
+@partial(jax.jit, static_argnames=("k", "reorthogonalize", "spmv_impl"))
+def lanczos(
+    dg: DeviceGraph,
+    x: jnp.ndarray,
+    k: int,
+    reorthogonalize: bool = False,
+    spmv_impl: str = "auto",
+) -> LanczosState:
+    """k-step Lanczos on A given by ``dg``; x is (n_pad,), zero-padded.
+
+    Matches the reference recurrence order exactly (serial/lib/lanczos.cc:
+    9-56): v = A q_j; alpha_j = <v, q_j>; v -= alpha_j q_j + beta_{j-1}
+    q_{j-1}; beta_j = ||v||; q_{j+1} = v / beta_j.
+    """
+    carry, x_norm = lanczos_init(dg, x, k)
+    _, _, q_basis, alpha, beta = lanczos_range(
+        dg, carry, 0, k, reorthogonalize=reorthogonalize, spmv_impl=spmv_impl
+    )
     return LanczosState(alpha=alpha, beta=beta[: k - 1], q_basis=q_basis, x_norm=x_norm)

@@ -65,6 +65,22 @@ def expm_action_device(
     return out, state
 
 
+def best_device_pack(graph: CSRGraph):
+    """Pack with the fastest format for the current backend: the Pallas
+    kernel's format on TPU when supported, else the auto XLA format."""
+    import jax
+
+    if jax.default_backend() not in ("cpu", "gpu"):
+        try:
+            from tpu_lanczos.kernels import spmv_pallas2
+
+            if spmv_pallas2.available_for(graph):
+                return spmv_pallas2.pack(graph)
+        except ImportError:
+            pass
+    return pack(graph, fmt="auto")
+
+
 def pad_vector(x_host: np.ndarray, n_pad: int, dtype) -> jnp.ndarray:
     x_pad = np.zeros(n_pad, dtype=dtype)
     x_pad[: x_host.shape[0]] = x_host

@@ -41,21 +41,19 @@ def _coo_spmv(dg: DeviceGraph, x: jnp.ndarray) -> jnp.ndarray:
     return out[: dg.n_pad]
 
 
-def spmv(dg: DeviceGraph, x: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
+def spmv(dg, x: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
     """y = A @ x with A in a packed device format.
 
     ``x`` must be (n_pad,) with zero padding beyond ``dg.n``; the result has
-    the same shape/padding invariant.
+    the same shape/padding invariant.  A ``TileGraph`` dispatches to the
+    Pallas lane-classed tile kernel; DeviceGraph formats use the XLA paths.
     """
-    if impl == "pallas":
+    from tpu_lanczos.kernels.tiles import TileGraph
+
+    if isinstance(dg, TileGraph):
         from tpu_lanczos.kernels import spmv_pallas
 
-        return spmv_pallas.spmv(dg, x)
-    if impl == "auto" and dg.fmt in ("ell", "hyb"):
-        from tpu_lanczos.kernels import spmv_pallas
-
-        if spmv_pallas.supported(dg, x):
-            return spmv_pallas.spmv(dg, x)
+        return spmv_pallas.spmv_tiles(dg, x, interpret=(impl == "interpret"))
     # XLA paths
     if dg.fmt == "ell":
         return _ell_spmv(dg, x)

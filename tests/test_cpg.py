@@ -1,0 +1,69 @@
+"""CPG format + Pallas hardware-path SpMV tests (interpret mode on CPU).
+
+CPG is the format the TPU actually runs (kernels/spmv_cpg.py); hardware
+equivalence was verified exactly (hw == interpret bit-for-bit on v5e).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from tpu_lanczos.graphs import generators
+from tpu_lanczos.graphs.csr import CSRGraph
+from tpu_lanczos.kernels.cpg import pack_cpg
+from tpu_lanczos.kernels.spmv_cpg import spmv_cpg
+from tpu_lanczos.core.pipeline import expm_action
+from tpu_lanczos.eval import oracle
+
+
+GRAPHS = {
+    "uniform": lambda: generators.uniform_random(2000, 8000, seed=1),
+    "barabasi": lambda: generators.barabasi_albert(2000, 8, seed=2, use_native=False),
+    "stencil": lambda: generators.stencil_2d(40),
+    "multichunk": lambda: generators.barabasi_albert(40000, 6, seed=3, use_native=False),
+}
+
+
+@pytest.mark.parametrize("name", list(GRAPHS))
+def test_cpg_spmv_matches_scipy(name):
+    g = GRAPHS[name]()
+    cg = pack_cpg(g)
+    rng = np.random.default_rng(0)
+    xr = rng.standard_normal(g.n)
+    x = jnp.asarray(cg.permute_in(xr, np.float64))
+    got = cg.permute_out(np.asarray(spmv_cpg(cg, x, interpret=True)))
+    want = g.to_scipy() @ xr
+    np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-11)
+
+
+def test_cpg_star_graph_deep_split():
+    """Hub of degree n-1 exercises multi-level virtual-row reduction."""
+    n = 3000
+    hub = np.stack([np.zeros(n - 1, dtype=np.int64),
+                    np.arange(1, n, dtype=np.int64)], axis=1)
+    ring = np.stack([np.arange(1, n - 1), np.arange(2, n)], axis=1)
+    g = CSRGraph.from_edges(n, np.concatenate([hub, ring]))
+    cg = pack_cpg(g)
+    assert len(cg.levels) >= 2
+    rng = np.random.default_rng(3)
+    xr = rng.standard_normal(n)
+    x = jnp.asarray(cg.permute_in(xr, np.float64))
+    got = cg.permute_out(np.asarray(spmv_cpg(cg, x, interpret=True)))
+    want = g.to_scipy() @ xr
+    np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-11)
+
+
+def test_cpg_pipeline_end_to_end():
+    g = GRAPHS["barabasi"]()
+    res = expm_action(g, k=30, dtype="float64", fmt="cpg", spmv_impl="interpret")
+    ref = oracle.expm_action(g, np.ones(g.n), 30)
+    assert oracle.rel_error(res.ans, ref) < 1e-12
+
+
+def test_cpg_lane127_invariant():
+    """Lane 127 of every sublane is structurally zero (ghost target)."""
+    g = GRAPHS["uniform"]()
+    cg = pack_cpg(g)
+    assert np.all(cg.new_of_old % 128 != 127)
+    mask = np.asarray(cg.realmask).reshape(-1, 128)
+    assert np.all(mask[:, 127] == 0)

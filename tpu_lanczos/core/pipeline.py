@@ -72,10 +72,10 @@ def best_device_pack(graph: CSRGraph):
 
     if jax.default_backend() not in ("cpu", "gpu"):
         try:
-            from tpu_lanczos.kernels import spmv_pallas2
+            from tpu_lanczos.kernels import spmv_cpg
 
-            if spmv_pallas2.available_for(graph):
-                return spmv_pallas2.pack(graph)
+            if spmv_cpg.available_for(graph):
+                return spmv_cpg.pack(graph)
         except ImportError:
             pass
     return pack(graph, fmt="auto")
@@ -104,10 +104,21 @@ def expm_action(
     start vector, serial/main.cc:79). k clamps to n-1 (serial/main.cc:64)."""
     k = int(min(k, graph.n - 1))
     if dg is None:
-        dg = pack(graph, fmt=fmt)
+        if fmt == "cst":
+            from tpu_lanczos.kernels.cst import pack_cst
+
+            dg = pack_cst(graph)
+        elif fmt == "cpg":
+            from tpu_lanczos.kernels.cpg import pack_cpg
+
+            dg = pack_cpg(graph)
+        elif fmt == "best":
+            dg = best_device_pack(graph)
+        else:
+            dg = pack(graph, fmt=fmt)
     dtype = jnp.dtype(dtype)
     x_host = np.ones(graph.n) if x is None else np.asarray(x)
-    x_dev = pad_vector(x_host, dg.n_pad, dtype)
+    x_dev = jnp.asarray(dg.permute_in(x_host, dtype))
 
     if eig_impl == "host":
         state = lanczos(
@@ -129,7 +140,7 @@ def expm_action(
     else:
         ans, shift_val = out, None
     return LanczosResult(
-        ans=np.asarray(ans)[: graph.n],
+        ans=dg.permute_out(np.asarray(ans)),
         log_scale=shift_val,
         alpha=np.asarray(state.alpha),
         beta=np.asarray(state.beta),

@@ -91,13 +91,17 @@ class ShardedGraph:
     new_of_old: np.ndarray     # (n,)
 
     def tree_flatten(self):
+        from tpu_lanczos.utils import HostArray
+
         leaves = (self.ell_indices, self.ell_degrees, self.coo_rows, self.coo_cols)
-        aux = (self.n_shards, self.n, self.n_pad, self.n_loc, self.nnz, self.new_of_old)
+        aux = (self.n_shards, self.n, self.n_pad, self.n_loc, self.nnz,
+               HostArray(self.new_of_old))
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         n_shards, n, n_pad, n_loc, nnz, new_of_old = aux
+        new_of_old = new_of_old.a
         ell_indices, ell_degrees, coo_rows, coo_cols = leaves
         return cls(
             n_shards=n_shards, n=n, n_pad=n_pad, n_loc=n_loc, nnz=nnz,

@@ -1,0 +1,283 @@
+"""CPG — chunk-pair gather format: the hardware Pallas SpMV format.
+
+Mosaic on TPU v5e lowers dynamic gathers only when the reach stays inside
+ONE vreg along the gather dimension ("Multiple source vregs along gather
+dimension" is unimplemented): lane-gather reaches 128 lanes, sublane-
+gather reaches 8 sublanes.  Arbitrary data movement inside a (128, 128)
+tile is still expressible as
+
+    lane-gather  ->  transpose  ->  lane-gather
+
+(cross-lane, then cross-sublane via the transpose).  CPG blocks the
+matrix into (source-chunk S, dest-chunk D) pairs of 128x128 positions
+each and routes every nonzero with exactly that chain:
+
+  XS = x-chunk S (128, 128)                       [BlockSpec DMA by S]
+  G1[ss, ld] = XS[ss, L1[ss, ld]]                 stage by dest lane
+  G2 = G1^T
+  G3[ld, rd] = G2[ld, L2[ld, rd]]                 deliver to dest cell
+  YT[:, 128 D + rd] += G3                         accumulate (transposed y)
+
+Constraints per tile (= per (S, D, tier)): one entry per staging pair
+(ss, ld) and one entry per dest cell (rd, ld).  Tier assignment is the
+same greedy bipartite coloring as CST; rows beyond ``theta`` are split
+into virtual rows folded back by reduce levels that reuse the very same
+kernel.  Lanes are used mod 127: lane 127 of every sublane is a
+structural zero, so ghost cells gather zeros and no masking exists in
+the kernel.
+
+This is the TPU counterpart of the reference's CUDA SpMV kernel family
+and its nnz-aware blocking (parallel-final/lib/cu_SPMV.cu:30-251): the
+reference tuned thread mappings per launch; CPG bakes the routing into
+index tiles at pack time and keeps the kernel a fixed 5-op chain.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_lanczos.graphs.csr import CSRGraph
+from tpu_lanczos.kernels.cst import _greedy_slots, _split_rows
+from tpu_lanczos.utils import HostArray
+
+LANE = 128
+REAL_LANES = 127           # lane 127 is the structural zero lane
+CHUNK = LANE * REAL_LANES  # real positions per chunk (16256)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class _CPGLevel:
+    """One delivery pass: flattened tile list sorted by (S, D, tier)."""
+
+    l1: np.ndarray      # (T*128, 128) int8  — source lane per staging cell
+    l2: np.ndarray      # (T*128, 128) int8  — staging sublane per dest cell
+    s_ids: np.ndarray   # (T,) int32 — source chunk of each tile
+    d_ids: np.ndarray   # (T,) int32 — dest chunk of each tile
+
+    @property
+    def tiles(self) -> int:
+        return self.s_ids.shape[0]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class CPGGraph:
+    n: int
+    n_chunks: int
+    nnz: int
+    theta: int
+    levels: tuple          # tuple of per-level dicts of jnp arrays
+    realmask: jnp.ndarray  # (n_pad,) f32 {0,1}
+    new_of_old: np.ndarray
+
+    def tree_flatten(self):
+        return (self.levels, self.realmask), (
+            self.n, self.n_chunks, self.nnz, self.theta,
+            HostArray(self.new_of_old),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        n, n_chunks, nnz, theta, new_of_old = aux
+        levels, realmask = leaves
+        return cls(n=n, n_chunks=n_chunks, nnz=nnz, theta=theta,
+                   levels=levels, realmask=realmask, new_of_old=new_of_old.a)
+
+    @property
+    def n_pad(self) -> int:
+        return self.n_chunks * LANE * LANE  # includes zero lanes
+
+    @property
+    def n_sub(self) -> int:
+        return self.n_chunks * LANE
+
+    @property
+    def total_tiles(self) -> int:
+        return sum(int(lv["s_ids"].shape[0]) for lv in self.levels)
+
+    @property
+    def fill(self) -> float:
+        return self.nnz / float(max(self.total_tiles, 1) * LANE * LANE)
+
+    # ------------------------------------------------------------ vectors
+
+    def permute_in(self, x: np.ndarray, dtype) -> np.ndarray:
+        out = np.zeros(self.n_pad, dtype=dtype)
+        out[self.new_of_old] = x
+        return out
+
+    def permute_out(self, y: np.ndarray) -> np.ndarray:
+        return np.asarray(y).reshape(-1)[self.new_of_old]
+
+
+def _pos_of_unit(rank: np.ndarray) -> np.ndarray:
+    """Map unit rank -> padded position skipping lane 127.
+
+    rank r -> chunk = r // CHUNK, within w = r % CHUNK,
+    sublane = w // REAL_LANES, lane = w % REAL_LANES.
+    """
+    chunk = rank // CHUNK
+    w = rank % CHUNK
+    sub = w // REAL_LANES
+    lane = w % REAL_LANES
+    return (chunk * LANE + sub) * LANE + lane
+
+
+def _build_cpg_level(src_pos: np.ndarray, dst_pos: np.ndarray):
+    """Build tile arrays for one delivery pass from endpoint positions."""
+    s_chunk = src_pos // (LANE * LANE)
+    ss = (src_pos // LANE) % LANE
+    sl = src_pos % LANE
+    d_chunk = dst_pos // (LANE * LANE)
+    rd = (dst_pos // LANE) % LANE
+    ld = dst_pos % LANE
+
+    # D-major block ordering: the kernel accumulates into a revisited
+    # (128,128) output block per dest chunk, so all of a dest chunk's
+    # tiles must be consecutive in the grid
+    block = d_chunk * np.int64(1 << 32) + s_chunk
+    a_key = block * (LANE * LANE) + ss * LANE + ld      # staging pair
+    b_key = block * (LANE * LANE) + rd * LANE + ld      # dest cell
+    # compact keys to avoid giant ranges in the greedy's sorts
+    _, a_c = np.unique(a_key, return_inverse=True)
+    _, b_c = np.unique(b_key, return_inverse=True)
+    tier = _greedy_slots(a_c, b_c)
+
+    # tile id per (block, tier), ordered by (d_chunk, s_chunk, tier)
+    tier_mult = int(tier.max()) + 1 if tier.size else 1
+    tkey = block * tier_mult + tier
+    uniq_t, tile_of = np.unique(tkey, return_inverse=True)
+    T = uniq_t.size
+    d_ids = (uniq_t // tier_mult // (1 << 32)).astype(np.int32)
+    s_ids = ((uniq_t // tier_mult) % (1 << 32)).astype(np.int32)
+
+    l1 = np.full((T * LANE, LANE), LANE - 1, dtype=np.int8)  # ghost -> lane 127
+    l1[tile_of * LANE + ss, ld] = sl.astype(np.int8)
+    l2 = np.full((T * LANE, LANE), -1, dtype=np.int16)
+    l2[tile_of * LANE + ld, rd] = ss.astype(np.int16)
+    # ghost dest cells: any staging sublane whose l1 is ghost for this
+    # (tile, ld); per tile compute first free ss per dest-lane column
+    l1v = l1.reshape(T, LANE, LANE)
+    l2v = l2.reshape(T, LANE, LANE)
+    free = l1v == (LANE - 1)                     # (T, ss, ld) ghost staging
+    first_free = np.argmax(free, axis=1)         # (T, ld)
+    need = l2v < 0                               # (T, ld, rd)
+    fill_vals = np.repeat(first_free[:, :, None], LANE, axis=2)
+    l2v[need] = fill_vals[need]
+    return _CPGLevel(
+        l1=l1, l2=l2.astype(np.int8), s_ids=s_ids, d_ids=d_ids
+    )
+
+
+def _level_ranges(d_ids: np.ndarray, n_chunks: int):
+    """Per-dest-chunk [start, count) over the d-major-sorted tile list."""
+    counts = np.bincount(d_ids, minlength=n_chunks).astype(np.int32)
+    starts = np.zeros(n_chunks, dtype=np.int32)
+    starts[1:] = np.cumsum(counts)[:-1]
+    return starts, counts
+
+
+def save_cpg(cg: CPGGraph, path: str) -> None:
+    """Persist a packed CPGGraph (packing is the expensive host step)."""
+    data = dict(
+        n=cg.n, n_chunks=cg.n_chunks, nnz=cg.nnz, theta=cg.theta,
+        n_levels=len(cg.levels), new_of_old=cg.new_of_old,
+        realmask=np.asarray(cg.realmask),
+    )
+    for i, lv in enumerate(cg.levels):
+        for k in ("l1", "l2", "s_ids", "d_ids", "starts", "counts"):
+            data[f"lv{i}_{k}"] = np.asarray(lv[k])
+    np.savez(path, **data)
+
+
+def load_cpg(path: str) -> CPGGraph:
+    z = np.load(path)
+    levels = tuple(
+        {k: jnp.asarray(z[f"lv{i}_{k}"])
+         for k in ("l1", "l2", "s_ids", "d_ids", "starts", "counts")}
+        for i in range(int(z["n_levels"]))
+    )
+    return CPGGraph(
+        n=int(z["n"]), n_chunks=int(z["n_chunks"]), nnz=int(z["nnz"]),
+        theta=int(z["theta"]), levels=levels,
+        realmask=jnp.asarray(z["realmask"]), new_of_old=z["new_of_old"],
+    )
+
+
+def pack_cpg(graph: CSRGraph, theta: int | None = None, seed: int = 0) -> CPGGraph:
+    """Pack a host CSR graph into the CPG device format."""
+    n = graph.n
+    rng = np.random.default_rng(seed)
+    if theta is None:
+        d_mean = max(graph.nnz / max(n, 1), 1.0)
+        theta = int(min(max(2 * d_mean + 8 * np.sqrt(d_mean), 16), 120))
+
+    rows = graph.row_ids().astype(np.int64)
+    cols = graph.indices.astype(np.int64)
+    unit, n_units, parents0 = _split_rows(rows, cols, n, theta)
+
+    # reduce tree (same scheme as CST)
+    reduce_edges = []
+    cur_src = np.arange(n, n_units)
+    cur_dst = parents0
+    while cur_src.size:
+        rsort = np.argsort(cur_dst, kind="stable")
+        r_rows, r_cols = cur_dst[rsort], cur_src[rsort]
+        uniq, inv = np.unique(r_rows, return_inverse=True)
+        unit2, n_units2, parents2 = _split_rows(inv, r_cols, uniq.size, theta)
+        n_new = n_units2 - uniq.size
+        new_ids = np.arange(n_units, n_units + n_new)
+        unit_map = np.concatenate([uniq, new_ids])
+        reduce_edges.append((r_cols, unit_map[unit2]))
+        n_units += n_new
+        cur_src = new_ids
+        cur_dst = uniq[parents2]
+
+    # ---- permutation: degree-sorted, dealt with a strided mix so that
+    # neighboring positions (same sublane/lane groups) carry a fair
+    # degree mix, then packed skipping lane 127
+    deg = np.bincount(unit, minlength=n_units)
+    for s_arr, d_arr in reduce_edges:
+        deg += np.bincount(d_arr, minlength=n_units)
+    order = np.argsort(-deg, kind="stable")
+    # strided deal over a 128-wide cycle mixes degrees across lanes
+    rank = np.empty(n_units, dtype=np.int64)
+    rank[order] = np.arange(n_units)
+    n_chunks = max(int(np.ceil(n_units / CHUNK)), 1)
+    pos_of = _pos_of_unit(rank)
+    new_of_old = pos_of[:n]
+
+    levels = []
+    levels.append(_build_cpg_level(pos_of[cols], pos_of[unit]))
+    for s_arr, d_arr in reduce_edges:
+        levels.append(_build_cpg_level(pos_of[s_arr], pos_of[d_arr]))
+
+    n_pad = n_chunks * LANE * LANE
+    realmask = np.zeros(n_pad, dtype=np.float32)
+    realmask[new_of_old] = 1.0
+
+    dev_levels = []
+    for lv in levels:
+        starts, counts = _level_ranges(lv.d_ids, n_chunks)
+        dev_levels.append(dict(
+            l1=jnp.asarray(lv.l1),
+            l2=jnp.asarray(lv.l2),
+            s_ids=jnp.asarray(lv.s_ids),
+            d_ids=jnp.asarray(lv.d_ids),
+            starts=jnp.asarray(starts),
+            counts=jnp.asarray(counts),
+        ))
+    dev_levels = tuple(dev_levels)
+    return CPGGraph(
+        n=n, n_chunks=n_chunks, nnz=graph.nnz, theta=theta,
+        levels=dev_levels, realmask=jnp.asarray(realmask),
+        new_of_old=new_of_old,
+    )

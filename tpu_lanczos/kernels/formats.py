@@ -79,6 +79,20 @@ class DeviceGraph:
     def ell_width(self) -> int:
         return 0 if self.ell_indices is None else int(self.ell_indices.shape[0])
 
+    # Unified vector interface shared with CSTGraph/TileGraph (which carry
+    # a real permutation; these formats are identity-laid-out).
+    def permute_in(self, x, dtype):
+        import numpy as np
+
+        out = np.zeros(self.n_pad, dtype=dtype)
+        out[: self.n] = x
+        return out
+
+    def permute_out(self, y):
+        import numpy as np
+
+        return np.asarray(y)[: self.n]
+
 
 def _pack_ell_np(
     indptr: np.ndarray, indices: np.ndarray, n: int, n_pad: int, width: int

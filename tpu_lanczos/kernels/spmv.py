@@ -49,7 +49,17 @@ def spmv(dg, x: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
     Pallas lane-classed tile kernel; DeviceGraph formats use the XLA paths.
     """
     from tpu_lanczos.kernels.tiles import TileGraph
+    from tpu_lanczos.kernels.cst import CSTGraph
+    from tpu_lanczos.kernels.cpg import CPGGraph
 
+    if isinstance(dg, CPGGraph):
+        from tpu_lanczos.kernels import spmv_cpg
+
+        return spmv_cpg.spmv_cpg(dg, x, interpret=(impl == "interpret"))
+    if isinstance(dg, CSTGraph):
+        from tpu_lanczos.kernels import spmv_pallas2
+
+        return spmv_pallas2.spmv_cst(dg, x, interpret=(impl == "interpret"))
     if isinstance(dg, TileGraph):
         from tpu_lanczos.kernels import spmv_pallas
 

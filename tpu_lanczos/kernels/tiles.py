@@ -61,14 +61,17 @@ class TileGraph:
     new_of_old: np.ndarray | None = None
 
     def tree_flatten(self):
+        from tpu_lanczos.utils import HostArray
+
         return (self.colsub, self.tile_block), (
             self.n, self.n_pad, self.nnz, self.n_tiles, self.n_blocks,
-            self.new_of_old,
+            HostArray(self.new_of_old),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         n, n_pad, nnz, n_tiles, n_blocks, new_of_old = aux
+        new_of_old = new_of_old.a
         colsub, tile_block = leaves
         return cls(n=n, n_pad=n_pad, nnz=nnz, n_tiles=n_tiles,
                    n_blocks=n_blocks, colsub=colsub, tile_block=tile_block,

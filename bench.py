@@ -54,13 +54,25 @@ def main():
     import jax
 
     g = load_graph()
-    from tpu_lanczos.core.pipeline import best_device_pack, pad_vector
+    from tpu_lanczos.core.pipeline import best_device_pack
     from tpu_lanczos.core.lanczos import lanczos
+    import jax.numpy as jnp
 
     t0 = time.time()
-    dg = best_device_pack(g)
+    cpg_cache = os.path.join(CACHE, f"cpg_{N}_{M}_{SEED}.npz")
+    dg = None
+    if jax.default_backend() not in ("cpu", "gpu") and os.path.exists(cpg_cache):
+        from tpu_lanczos.kernels.cpg import load_cpg
+
+        dg = load_cpg(cpg_cache)
+    if dg is None:
+        dg = best_device_pack(g)
+        if type(dg).__name__ == "CPGGraph":
+            from tpu_lanczos.kernels.cpg import save_cpg
+
+            save_cpg(dg, cpg_cache)
     log(f"packed ({type(dg).__name__}) in {time.time()-t0:.1f}s")
-    x = pad_vector(np.ones(g.n), dg.n_pad, np.float32)
+    x = jnp.asarray(dg.permute_in(np.ones(g.n), np.float32))
 
     def run():
         st = lanczos(dg, x, K)

@@ -81,6 +81,8 @@ def _load():
         lib.gc_barabasi.argtypes = [c_i64, c_i64, ctypes.c_uint64]
         lib.gc_uniform.restype = c_p
         lib.gc_uniform.argtypes = [c_i64, c_i64, ctypes.c_uint64]
+        lib.gc_edge_color.restype = c_i64
+        lib.gc_edge_color.argtypes = [c_i64, c_i64, c_i64, c_p, c_p, c_p]
         _lib = lib
         return _lib
 
@@ -171,3 +173,22 @@ def uniform_random(n: int, num_edges: int, seed: int = 0) -> CSRGraph:
     if not h:
         raise ValueError("invalid n/num_edges")
     return _edges_to_csr(lib, h)
+
+
+def edge_color(a_ids: np.ndarray, b_ids: np.ndarray) -> np.ndarray:
+    """Delta-optimal proper edge coloring of a bipartite multigraph
+    (Konig, alternating-path construction in C++).  ``a_ids``/``b_ids``
+    are compact endpoint ids; returns (E,) int32 colors with both
+    endpoints' colors unique."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native core unavailable: {_build_error}")
+    a = np.ascontiguousarray(a_ids, dtype=np.int32)
+    b = np.ascontiguousarray(b_ids, dtype=np.int32)
+    n_a = int(a.max()) + 1 if a.size else 0
+    n_b = int(b.max()) + 1 if b.size else 0
+    colors = np.empty(a.size, dtype=np.int32)
+    used = lib.gc_edge_color(a.size, n_a, n_b, _ptr(a), _ptr(b), _ptr(colors))
+    if used < 0:
+        raise RuntimeError("gc_edge_color failed")
+    return colors

@@ -262,3 +262,135 @@ void *gc_uniform(int64_t n, int64_t num_edges, uint64_t seed) {
 }
 
 } // extern "C"
+
+// ------------------------------------------------------- edge coloring
+//
+// Proper edge coloring of a bipartite multigraph with Delta colors
+// (Konig's theorem, constructive: alternating-path recoloring).  Used by
+// the CPG packer's tier assignment (tpu_lanczos/kernels/cpg.py): every
+// color class becomes one (128,128) routing tile, so Delta-optimal
+// coloring minimizes tile count vs the ~2x-Delta python greedy.
+//
+// a_ids / b_ids are pre-compacted endpoint ids in [0, n_a) / [0, n_b).
+// colors_out[e] receives edge e's color. Returns #colors used, -1 on error.
+
+extern "C" int64_t gc_edge_color(int64_t n_edges, int64_t n_a, int64_t n_b,
+                                 const int32_t *a_ids, const int32_t *b_ids,
+                                 int32_t *colors_out) {
+  if (n_edges == 0) return 0;
+  // per-node CSR of incident edge ids
+  std::vector<int64_t> a_ptr(static_cast<size_t>(n_a) + 1, 0);
+  std::vector<int64_t> b_ptr(static_cast<size_t>(n_b) + 1, 0);
+  for (int64_t e = 0; e < n_edges; ++e) {
+    a_ptr[a_ids[e] + 1]++;
+    b_ptr[b_ids[e] + 1]++;
+  }
+  int64_t delta = 0;
+  for (int64_t i = 0; i < n_a; ++i) {
+    delta = std::max(delta, a_ptr[i + 1]);
+    a_ptr[i + 1] += a_ptr[i];
+  }
+  for (int64_t i = 0; i < n_b; ++i) {
+    delta = std::max(delta, b_ptr[i + 1]);
+    b_ptr[i + 1] += b_ptr[i];
+  }
+  std::vector<int64_t> a_adj(static_cast<size_t>(n_edges));
+  std::vector<int64_t> b_adj(static_cast<size_t>(n_edges));
+  {
+    std::vector<int64_t> ca(a_ptr.begin(), a_ptr.end() - 1);
+    std::vector<int64_t> cb(b_ptr.begin(), b_ptr.end() - 1);
+    for (int64_t e = 0; e < n_edges; ++e) {
+      a_adj[static_cast<size_t>(ca[a_ids[e]]++)] = e;
+      b_adj[static_cast<size_t>(cb[b_ids[e]]++)] = e;
+    }
+  }
+
+  const int64_t words = (delta + 63) / 64;
+  std::vector<uint64_t> a_used(static_cast<size_t>(n_a) * words, 0);
+  std::vector<uint64_t> b_used(static_cast<size_t>(n_b) * words, 0);
+  std::fill(colors_out, colors_out + n_edges, -1);
+
+  auto first_free = [&](const uint64_t *m) -> int64_t {
+    for (int64_t w = 0; w < words; ++w)
+      if (~m[w]) {
+        const int64_t c = w * 64 + __builtin_ctzll(~m[w]);
+        if (c < delta) return c;
+      }
+    return -1;
+  };
+  auto first_free_common = [&](const uint64_t *ma,
+                               const uint64_t *mb) -> int64_t {
+    for (int64_t w = 0; w < words; ++w) {
+      const uint64_t f = ~(ma[w] | mb[w]);
+      if (f) {
+        const int64_t c = w * 64 + __builtin_ctzll(f);
+        if (c < delta) return c;
+      }
+    }
+    return -1;
+  };
+  auto set_bit = [&](uint64_t *m, int64_t c, bool v) {
+    if (v) m[c / 64] |= 1ull << (c % 64);
+    else   m[c / 64] &= ~(1ull << (c % 64));
+  };
+  auto edge_at_a = [&](int64_t v, int64_t c) -> int64_t {
+    for (int64_t i = a_ptr[v]; i < a_ptr[v + 1]; ++i) {
+      const int64_t e2 = a_adj[static_cast<size_t>(i)];
+      if (colors_out[e2] == c) return e2;
+    }
+    return -1;
+  };
+  auto edge_at_b = [&](int64_t v, int64_t c) -> int64_t {
+    for (int64_t i = b_ptr[v]; i < b_ptr[v + 1]; ++i) {
+      const int64_t e2 = b_adj[static_cast<size_t>(i)];
+      if (colors_out[e2] == c) return e2;
+    }
+    return -1;
+  };
+
+  std::vector<int64_t> path;
+  for (int64_t e = 0; e < n_edges; ++e) {
+    const int64_t va = a_ids[e], vb = b_ids[e];
+    uint64_t *ma = &a_used[static_cast<size_t>(va) * words];
+    uint64_t *mb = &b_used[static_cast<size_t>(vb) * words];
+    int64_t c = first_free_common(ma, mb);
+    if (c < 0) {
+      // alpha free at a (used at b); beta free at b (used at a).
+      // The alpha/beta alternating path from b never reaches a (bipartite:
+      // arrival at an A-node is via an alpha edge, and a has none), so
+      // swapping colors along it frees alpha at b.
+      const int64_t alpha = first_free(ma);
+      const int64_t beta = first_free(mb);
+      if (alpha < 0 || beta < 0) return -1;
+      path.clear();
+      bool on_b = true;
+      int64_t node = vb;
+      int64_t want = alpha;
+      while (true) {
+        const int64_t f = on_b ? edge_at_b(node, want) : edge_at_a(node, want);
+        if (f < 0) break;
+        path.push_back(f);
+        node = on_b ? a_ids[f] : b_ids[f];
+        on_b = !on_b;
+        want = (want == alpha) ? beta : alpha;
+      }
+      for (const int64_t f : path) {
+        const int64_t old_c = colors_out[f];
+        const int64_t new_c = (old_c == alpha) ? beta : alpha;
+        set_bit(&a_used[static_cast<size_t>(a_ids[f]) * words], old_c, false);
+        set_bit(&a_used[static_cast<size_t>(a_ids[f]) * words], new_c, true);
+        set_bit(&b_used[static_cast<size_t>(b_ids[f]) * words], old_c, false);
+        set_bit(&b_used[static_cast<size_t>(b_ids[f]) * words], new_c, true);
+        colors_out[f] = static_cast<int32_t>(new_c);
+      }
+      c = alpha;
+    }
+    colors_out[e] = static_cast<int32_t>(c);
+    set_bit(ma, c, true);
+    set_bit(mb, c, true);
+  }
+  int64_t used = 0;
+  for (int64_t e = 0; e < n_edges; ++e)
+    used = std::max<int64_t>(used, colors_out[e] + 1);
+  return used;
+}

@@ -46,7 +46,12 @@ from tpu_lanczos.utils import HostArray
 
 LANE = 128
 REAL_LANES = 127           # lane 127 is the structural zero lane
-CHUNK = LANE * REAL_LANES  # real positions per chunk (16256)
+# Chunk height (sublanes per chunk) is a pack-time parameter ``sub``:
+# bigger chunks make (S, D) blocks denser (entries scale with sub^2,
+# cells with sub), cutting the per-block tier maxima that set tile count;
+# the kernel's second gather then needs sub/128 slab-selects.  256 wins
+# for ~1M-row power-law graphs; 128 for small graphs.
+CHUNK = LANE * REAL_LANES  # real positions per 128-sublane chunk unit
 
 
 def _round_up(x: int, m: int) -> int:
@@ -55,10 +60,10 @@ def _round_up(x: int, m: int) -> int:
 
 @dataclasses.dataclass(frozen=True)
 class _CPGLevel:
-    """One delivery pass: flattened tile list sorted by (S, D, tier)."""
+    """One delivery pass: flattened tile list sorted by (D, S, tier)."""
 
-    l1: np.ndarray      # (T*128, 128) int8  — source lane per staging cell
-    l2: np.ndarray      # (T*128, 128) int8  — staging sublane per dest cell
+    l1: np.ndarray      # (T*sub, 128) int8   — source lane per staging cell
+    l2: np.ndarray      # (T*128, sub) uint8  — staging sublane per dest cell
     s_ids: np.ndarray   # (T,) int32 — source chunk of each tile
     d_ids: np.ndarray   # (T,) int32 — dest chunk of each tile
 
@@ -74,30 +79,31 @@ class CPGGraph:
     n_chunks: int
     nnz: int
     theta: int
+    sub: int               # sublanes per chunk (multiple of 128)
     levels: tuple          # tuple of per-level dicts of jnp arrays
     realmask: jnp.ndarray  # (n_pad,) f32 {0,1}
     new_of_old: np.ndarray
 
     def tree_flatten(self):
         return (self.levels, self.realmask), (
-            self.n, self.n_chunks, self.nnz, self.theta,
+            self.n, self.n_chunks, self.nnz, self.theta, self.sub,
             HostArray(self.new_of_old),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        n, n_chunks, nnz, theta, new_of_old = aux
+        n, n_chunks, nnz, theta, sub, new_of_old = aux
         levels, realmask = leaves
-        return cls(n=n, n_chunks=n_chunks, nnz=nnz, theta=theta,
+        return cls(n=n, n_chunks=n_chunks, nnz=nnz, theta=theta, sub=sub,
                    levels=levels, realmask=realmask, new_of_old=new_of_old.a)
 
     @property
     def n_pad(self) -> int:
-        return self.n_chunks * LANE * LANE  # includes zero lanes
+        return self.n_chunks * self.sub * LANE  # includes zero lanes
 
     @property
     def n_sub(self) -> int:
-        return self.n_chunks * LANE
+        return self.n_chunks * self.sub
 
     @property
     def total_tiles(self) -> int:
@@ -105,7 +111,7 @@ class CPGGraph:
 
     @property
     def fill(self) -> float:
-        return self.nnz / float(max(self.total_tiles, 1) * LANE * LANE)
+        return self.nnz / float(max(self.total_tiles, 1) * self.sub * LANE)
 
     # ------------------------------------------------------------ vectors
 
@@ -118,38 +124,53 @@ class CPGGraph:
         return np.asarray(y).reshape(-1)[self.new_of_old]
 
 
-def _pos_of_unit(rank: np.ndarray) -> np.ndarray:
+def _assign_tiers(a_c: np.ndarray, b_c: np.ndarray) -> np.ndarray:
+    """Slot/tier assignment: Delta-optimal Konig edge coloring via the
+    native core when available (tile count == max endpoint load), else
+    the round-based python greedy (~1.5-2x Delta)."""
+    try:
+        from tpu_lanczos.graphs import native
+
+        if native.available():
+            return native.edge_color(a_c, b_c)
+    except Exception:
+        pass
+    return _greedy_slots(a_c, b_c)
+
+
+def _pos_of_unit(rank: np.ndarray, sub: int) -> np.ndarray:
     """Map unit rank -> padded position skipping lane 127.
 
-    rank r -> chunk = r // CHUNK, within w = r % CHUNK,
-    sublane = w // REAL_LANES, lane = w % REAL_LANES.
+    rank r -> chunk = r // (sub*127), within w, sublane-in-chunk
+    w // 127, lane w % 127.
     """
-    chunk = rank // CHUNK
-    w = rank % CHUNK
-    sub = w // REAL_LANES
+    per_chunk = sub * REAL_LANES
+    chunk = rank // per_chunk
+    w = rank % per_chunk
+    s = w // REAL_LANES
     lane = w % REAL_LANES
-    return (chunk * LANE + sub) * LANE + lane
+    return (chunk * sub + s) * LANE + lane
 
 
-def _build_cpg_level(src_pos: np.ndarray, dst_pos: np.ndarray):
+def _build_cpg_level(src_pos: np.ndarray, dst_pos: np.ndarray, sub: int):
     """Build tile arrays for one delivery pass from endpoint positions."""
-    s_chunk = src_pos // (LANE * LANE)
-    ss = (src_pos // LANE) % LANE
+    s_chunk = src_pos // (sub * LANE)
+    ss = (src_pos // LANE) % sub
     sl = src_pos % LANE
-    d_chunk = dst_pos // (LANE * LANE)
-    rd = (dst_pos // LANE) % LANE
+    d_chunk = dst_pos // (sub * LANE)
+    rd = (dst_pos // LANE) % sub
     ld = dst_pos % LANE
 
     # D-major block ordering: the kernel accumulates into a revisited
-    # (128,128) output block per dest chunk, so all of a dest chunk's
-    # tiles must be consecutive in the grid
+    # output block per dest chunk, so all of a dest chunk's tiles must be
+    # consecutive in the grid
     block = d_chunk * np.int64(1 << 32) + s_chunk
-    a_key = block * (LANE * LANE) + ss * LANE + ld      # staging pair
-    b_key = block * (LANE * LANE) + rd * LANE + ld      # dest cell
-    # compact keys to avoid giant ranges in the greedy's sorts
+    a_key = block * (sub * LANE) + ss * LANE + ld      # staging pair
+    b_key = block * (sub * LANE) + rd * LANE + ld      # dest cell
+    # compact keys to avoid giant ranges in the coloring's sorts
     _, a_c = np.unique(a_key, return_inverse=True)
     _, b_c = np.unique(b_key, return_inverse=True)
-    tier = _greedy_slots(a_c, b_c)
+    tier = _assign_tiers(a_c, b_c)
 
     # tile id per (block, tier), ordered by (d_chunk, s_chunk, tier)
     tier_mult = int(tier.max()) + 1 if tier.size else 1
@@ -159,21 +180,21 @@ def _build_cpg_level(src_pos: np.ndarray, dst_pos: np.ndarray):
     d_ids = (uniq_t // tier_mult // (1 << 32)).astype(np.int32)
     s_ids = ((uniq_t // tier_mult) % (1 << 32)).astype(np.int32)
 
-    l1 = np.full((T * LANE, LANE), LANE - 1, dtype=np.int8)  # ghost -> lane 127
-    l1[tile_of * LANE + ss, ld] = sl.astype(np.int8)
-    l2 = np.full((T * LANE, LANE), -1, dtype=np.int16)
+    l1 = np.full((T * sub, LANE), LANE - 1, dtype=np.int8)  # ghost -> lane 127
+    l1[tile_of * sub + ss, ld] = sl.astype(np.int8)
+    l2 = np.full((T * LANE, sub), -1, dtype=np.int16)
     l2[tile_of * LANE + ld, rd] = ss.astype(np.int16)
     # ghost dest cells: any staging sublane whose l1 is ghost for this
     # (tile, ld); per tile compute first free ss per dest-lane column
-    l1v = l1.reshape(T, LANE, LANE)
-    l2v = l2.reshape(T, LANE, LANE)
+    l1v = l1.reshape(T, sub, LANE)
+    l2v = l2.reshape(T, LANE, sub)
     free = l1v == (LANE - 1)                     # (T, ss, ld) ghost staging
     first_free = np.argmax(free, axis=1)         # (T, ld)
     need = l2v < 0                               # (T, ld, rd)
-    fill_vals = np.repeat(first_free[:, :, None], LANE, axis=2)
+    fill_vals = np.repeat(first_free[:, :, None], sub, axis=2)
     l2v[need] = fill_vals[need]
     return _CPGLevel(
-        l1=l1, l2=l2.astype(np.int8), s_ids=s_ids, d_ids=d_ids
+        l1=l1, l2=l2.astype(np.uint8), s_ids=s_ids, d_ids=d_ids
     )
 
 
@@ -189,7 +210,7 @@ def save_cpg(cg: CPGGraph, path: str) -> None:
     """Persist a packed CPGGraph (packing is the expensive host step)."""
     data = dict(
         n=cg.n, n_chunks=cg.n_chunks, nnz=cg.nnz, theta=cg.theta,
-        n_levels=len(cg.levels), new_of_old=cg.new_of_old,
+        sub=cg.sub, n_levels=len(cg.levels), new_of_old=cg.new_of_old,
         realmask=np.asarray(cg.realmask),
     )
     for i, lv in enumerate(cg.levels):
@@ -207,15 +228,28 @@ def load_cpg(path: str) -> CPGGraph:
     )
     return CPGGraph(
         n=int(z["n"]), n_chunks=int(z["n_chunks"]), nnz=int(z["nnz"]),
-        theta=int(z["theta"]), levels=levels,
+        theta=int(z["theta"]), sub=int(z["sub"]) if "sub" in z else 128,
+        levels=levels,
         realmask=jnp.asarray(z["realmask"]), new_of_old=z["new_of_old"],
     )
 
 
-def pack_cpg(graph: CSRGraph, theta: int | None = None, seed: int = 0) -> CPGGraph:
-    """Pack a host CSR graph into the CPG device format."""
+def pack_cpg(
+    graph: CSRGraph,
+    theta: int | None = None,
+    seed: int = 0,
+    sub: int | None = None,
+) -> CPGGraph:
+    """Pack a host CSR graph into the CPG device format.
+
+    ``sub`` (chunk height in sublanes, multiple of 128) trades per-tile
+    gather/select work against block density; auto: 256 for graphs with
+    >= a few hundred K rows, else 128."""
     n = graph.n
     rng = np.random.default_rng(seed)
+    if sub is None:
+        sub = 256 if n >= 200_000 else LANE
+    assert sub % LANE == 0
     if theta is None:
         d_mean = max(graph.nnz / max(n, 1), 1.0)
         theta = int(min(max(2 * d_mean + 8 * np.sqrt(d_mean), 16), 120))
@@ -251,16 +285,16 @@ def pack_cpg(graph: CSRGraph, theta: int | None = None, seed: int = 0) -> CPGGra
     # strided deal over a 128-wide cycle mixes degrees across lanes
     rank = np.empty(n_units, dtype=np.int64)
     rank[order] = np.arange(n_units)
-    n_chunks = max(int(np.ceil(n_units / CHUNK)), 1)
-    pos_of = _pos_of_unit(rank)
+    n_chunks = max(int(np.ceil(n_units / (sub * REAL_LANES))), 1)
+    pos_of = _pos_of_unit(rank, sub)
     new_of_old = pos_of[:n]
 
     levels = []
-    levels.append(_build_cpg_level(pos_of[cols], pos_of[unit]))
+    levels.append(_build_cpg_level(pos_of[cols], pos_of[unit], sub))
     for s_arr, d_arr in reduce_edges:
-        levels.append(_build_cpg_level(pos_of[s_arr], pos_of[d_arr]))
+        levels.append(_build_cpg_level(pos_of[s_arr], pos_of[d_arr], sub))
 
-    n_pad = n_chunks * LANE * LANE
+    n_pad = n_chunks * sub * LANE
     realmask = np.zeros(n_pad, dtype=np.float32)
     realmask[new_of_old] = 1.0
 
@@ -277,7 +311,7 @@ def pack_cpg(graph: CSRGraph, theta: int | None = None, seed: int = 0) -> CPGGra
         ))
     dev_levels = tuple(dev_levels)
     return CPGGraph(
-        n=n, n_chunks=n_chunks, nnz=graph.nnz, theta=theta,
+        n=n, n_chunks=n_chunks, nnz=graph.nnz, theta=theta, sub=sub,
         levels=dev_levels, realmask=jnp.asarray(realmask),
         new_of_old=new_of_old,
     )

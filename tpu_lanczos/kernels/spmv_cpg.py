@@ -8,13 +8,17 @@ axon tunnel, .scratch/probe*.log):
 - inside a kernel, `lax.fori_loop` + dynamic VMEM slices cost ~nothing
   (72 cyc per 16K-element slice-add);
 - the routing chain lane-gather -> transpose -> lane-gather runs at
-  ~500 cyc per (128,128) tile.
+  ~400-700 cyc per (128,128)-cell tile.
 
 Hence: ONE grid step per dest chunk (output window is a pure grid-index
 BlockSpec -> exactly one flush per chunk), and an in-kernel fori_loop
-over that chunk's tiles, double-buffering the two (128,128) int8 index
-tiles from HBM by hand (pltpu.make_async_copy), with x fully VMEM
-resident and sliced dynamically per tile.
+over that chunk's tiles, double-buffering the int8/uint8 index tiles
+from HBM by hand (pltpu.make_async_copy), with x fully VMEM resident and
+sliced dynamically per tile.
+
+Chunk height ``sub`` may exceed 128 (denser blocks -> fewer tiles); the
+second gather's reach is still one 128-lane vreg, so it runs as
+(sub/128)^2 slab-gathers combined with range selects.
 """
 
 from __future__ import annotations
@@ -29,70 +33,86 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_lanczos.kernels.cpg import CPGGraph, LANE
 
 
-def _kernel(starts, counts, s_ids, l1_hbm, l2_hbm, x_ref, o_ref,
-            l1_buf, l2_buf, sems):
-    """Grid step d: accumulate all tiles of dest chunk d.
+def _make_kernel(sub: int):
+    n_slab = sub // LANE
 
-    starts/counts/s_ids are scalar-prefetched (SMEM); l1/l2 live in HBM
-    and stream through 2-slot VMEM buffers; x_ref is fully resident.
-    """
-    d = pl.program_id(0)
-    start = starts[d]
-    count = counts[d]
+    def _kernel(starts, counts, s_ids, l1_hbm, l2_hbm, x_ref, o_ref,
+                l1_buf, l2_buf, sems):
+        d = pl.program_id(0)
+        start = starts[d]
+        count = counts[d]
 
-    def dma(slot, i):
-        t = start + i
-        return (
-            pltpu.make_async_copy(
-                l1_hbm.at[pl.ds(t * LANE, LANE), :], l1_buf.at[slot],
-                sems.at[slot, 0],
-            ),
-            pltpu.make_async_copy(
-                l2_hbm.at[pl.ds(t * LANE, LANE), :], l2_buf.at[slot],
-                sems.at[slot, 1],
-            ),
-        )
+        def dma(slot, i):
+            t = start + i
+            return (
+                pltpu.make_async_copy(
+                    l1_hbm.at[pl.ds(t * sub, sub), :], l1_buf.at[slot],
+                    sems.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    l2_hbm.at[pl.ds(t * LANE, LANE), :], l2_buf.at[slot],
+                    sems.at[slot, 1],
+                ),
+            )
 
-    @pl.when(count > 0)
-    def _():
-        a, b = dma(0, 0)
-        a.start()
-        b.start()
-
-    def body(i, acc):
-        two = jnp.asarray(2, i.dtype)
-        slot = jax.lax.rem(i, two)
-        nxt = jax.lax.rem(i + 1, two)
-
-        @pl.when(i + 1 < count)
+        @pl.when(count > 0)
         def _():
-            a, b = dma(nxt, i + 1)
+            a, b = dma(0, 0)
             a.start()
             b.start()
 
-        a, b = dma(slot, i)
-        a.wait()
-        b.wait()
+        def body(i, acc):
+            two = jnp.asarray(2, i.dtype)
+            slot = jax.lax.rem(i, two)
+            nxt = jax.lax.rem(i + 1, two)
 
-        s = s_ids[start + i]
-        xs = x_ref[pl.ds(s * LANE, LANE), :]
-        g1 = jnp.take_along_axis(
-            xs, l1_buf[slot].astype(jnp.int32), axis=1
+            @pl.when(i + 1 < count)
+            def _():
+                a, b = dma(nxt, i + 1)
+                a.start()
+                b.start()
+
+            a, b = dma(slot, i)
+            a.wait()
+            b.wait()
+
+            s = s_ids[start + i]
+            xs = x_ref[pl.ds(s * sub, sub), :]
+            g1 = jnp.take_along_axis(
+                xs, l1_buf[slot].astype(jnp.int32), axis=1
+            )
+            g2 = g1.T  # (128, sub)
+            l2 = l2_buf[slot].astype(jnp.int32)  # (128, sub)
+            if n_slab == 1:
+                g3 = jnp.take_along_axis(g2, l2, axis=1)
+            else:
+                slabs = []
+                for j in range(n_slab):  # output slabs along rd
+                    idx = l2[:, j * LANE:(j + 1) * LANE]
+                    res = jnp.zeros((LANE, LANE), x_ref.dtype)
+                    for si in range(n_slab):  # source slices along ss
+                        sl_idx = jnp.clip(idx - si * LANE, 0, LANE - 1)
+                        part = jnp.take_along_axis(
+                            g2[:, si * LANE:(si + 1) * LANE], sl_idx, axis=1
+                        )
+                        res = jnp.where(
+                            (idx >= si * LANE) & (idx < (si + 1) * LANE),
+                            part, res,
+                        )
+                    slabs.append(res)
+                g3 = jnp.concatenate(slabs, axis=1)  # (128, sub)
+            return acc + g3
+
+        o_ref[:] = jax.lax.fori_loop(
+            0, count, body, jnp.zeros((LANE, sub), x_ref.dtype)
         )
-        g2 = g1.T
-        g3 = jnp.take_along_axis(
-            g2, l2_buf[slot].astype(jnp.int32), axis=1
-        )
-        return acc + g3
 
-    o_ref[:] = jax.lax.fori_loop(
-        0, count, body, jnp.zeros((LANE, LANE), x_ref.dtype)
-    )
+    return _kernel
 
 
-def _run_level(x2d, level, n_chunks, interpret):
+def _run_level(x2d, level, n_chunks, sub, interpret):
     return pl.pallas_call(
-        _kernel,
+        _make_kernel(sub),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # starts, counts, s_ids
             grid=(n_chunks,),
@@ -102,15 +122,15 @@ def _run_level(x2d, level, n_chunks, interpret):
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # x2d resident
             ],
             out_specs=pl.BlockSpec(
-                (LANE, LANE), lambda d, *_: (d, 0), memory_space=pltpu.VMEM
+                (LANE, sub), lambda d, *_: (d, 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, LANE, LANE), jnp.int8),
-                pltpu.VMEM((2, LANE, LANE), jnp.int8),
+                pltpu.VMEM((2, sub, LANE), jnp.int8),
+                pltpu.VMEM((2, LANE, sub), jnp.uint8),
                 pltpu.SemaphoreType.DMA((2, 2)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((n_chunks * LANE, LANE), x2d.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_chunks * LANE, sub), x2d.dtype),
         interpret=interpret,
     )(
         level["starts"], level["counts"], level["s_ids"],
@@ -122,17 +142,18 @@ def _run_level(x2d, level, n_chunks, interpret):
 def spmv_cpg(cg: CPGGraph, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """y = A @ x; x is (n_pad,) in CPG-permuted order, lane-127 slots zero."""
     C = cg.n_chunks
+    sub = cg.sub
     n_sub = cg.n_sub
     x2d = x.reshape(n_sub, LANE)
 
     def untranspose(yt):
-        # (C*128, 128) stacked (ld, rd) blocks -> (n_sub, 128) y2d layout
-        return yt.reshape(C, LANE, LANE).transpose(0, 2, 1).reshape(n_sub, LANE)
+        # (C*128, sub) stacked (ld, rd) blocks -> (n_sub, 128) y2d layout
+        return yt.reshape(C, LANE, sub).transpose(0, 2, 1).reshape(n_sub, LANE)
 
-    yt = _run_level(x2d, cg.levels[0], C, interpret)
+    yt = _run_level(x2d, cg.levels[0], C, sub, interpret)
     y2d = untranspose(yt)
     for level in cg.levels[1:]:
-        yt = _run_level(y2d, level, C, interpret)
+        yt = _run_level(y2d, level, C, sub, interpret)
         y2d = y2d + untranspose(yt)
     y = y2d.reshape(-1) * cg.realmask.astype(x.dtype)
     return y

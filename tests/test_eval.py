@@ -1,0 +1,58 @@
+"""Eval-layer tests: sweeps, profiling helpers, bench-suite plumbing."""
+
+import json
+
+import numpy as np
+import pytest
+
+from tpu_lanczos.eval.sweeps import k_sweep, pack_sweep
+from tpu_lanczos.eval.profiling import StageTimer, timed
+
+
+def test_k_sweep_converges(capsys):
+    out = k_sweep(n=400, edges=1200, ks=(5, 15, 30))
+    errs = {r["k"]: r["rel_err"] for r in out}
+    assert errs[30] < 1e-9
+    assert errs[30] < errs[5]
+    # JSON lines emitted
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert all(json.loads(l) for l in lines)
+
+
+def test_pack_sweep_runs(capsys):
+    out = pack_sweep(n=5000, m=6, thetas=(40,), subs=(128, 256))
+    assert len(out) == 2
+    assert all(r["tiles"] > 0 for r in out)
+    # bigger chunks should not increase tile count
+    assert out[1]["tiles"] <= out[0]["tiles"]
+
+
+def test_stage_timer():
+    import jax.numpy as jnp
+
+    t = StageTimer()
+    x = jnp.ones((256, 256))
+    with t.stage("mm", x):
+        y = x @ x
+    with t.stage("sum", y):
+        z = y.sum()
+    assert set(t.stages) == {"mm", "sum"}
+    assert "total" in t.table()
+
+
+def test_timed():
+    import jax.numpy as jnp
+
+    x = jnp.ones((128, 128))
+    out, dt = timed(lambda a: a + 1, x, reps=2)
+    assert dt >= 0
+    np.testing.assert_allclose(np.asarray(out), 2.0)
+
+
+def test_bench_suite_config_shapes():
+    from tpu_lanczos.eval.bench_suite import CONFIGS, build
+
+    small = dict(name="t", kind="stencil", side=10)
+    g = build(small)
+    assert g.n == 100
+    assert {c["kind"] for c in CONFIGS} <= {"barabasi", "uniform", "stencil"}

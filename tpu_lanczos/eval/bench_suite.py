@@ -1,0 +1,129 @@
+"""Benchmark suite mirroring the reference's graph classes.
+
+The reference benchmarked nine graphs (BASELINE.md): power-law
+(Barabasi), social (coPapers/LiveJournal), and mesh/road-class
+(adaptive, channel, hugetrace, road_central, europe_osm).  Their data
+files are not redistributable, so this suite *generates* class-matched
+stand-ins at matched n/nnz scales and reports the same headline
+quantity: Lanczos decomposition time at k=50 (plus effective nnz/s and
+% of the v5e HBM roofline for the SpMV's index traffic).
+
+Run: ``python -m tpu_lanczos.eval.bench_suite [--quick]``; each result
+is one JSON line, human table at the end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+# (name, builder kwargs, reference analog + its CUDA k=50 seconds if any)
+CONFIGS = [
+    dict(name="ba_1M_m10", kind="barabasi", n=1_000_000, m=10,
+         analog="bn1000000e9999944", ref_s=0.4166),
+    dict(name="uniform_1M_e10M", kind="uniform", n=1_000_000, e=10_000_000,
+         analog=None, ref_s=None),
+    dict(name="stencil_1400", kind="stencil", side=1400,
+         analog="mesh-class (California-adaptive scale)", ref_s=None),
+    dict(name="stencil_2600", kind="stencil", side=2600,
+         analog="adaptive n=6.8M nnz=27M", ref_s=1.2654),
+    dict(name="stencil_4000", kind="stencil", side=4000,
+         analog="road_central n=14M nnz=34M / hugetrace n=16M nnz=48M",
+         ref_s=2.9778),  # mean of road_central 2.7427 and hugetrace 3.2129
+]
+
+HBM_GBPS = 819.0  # v5e
+
+
+def build(cfg):
+    from tpu_lanczos.graphs import generators
+
+    if cfg["kind"] == "barabasi":
+        return generators.barabasi_albert(cfg["n"], cfg["m"], seed=0)
+    if cfg["kind"] == "uniform":
+        return generators.uniform_random(cfg["n"], cfg["e"], seed=0,
+                                         use_native=True)
+    if cfg["kind"] == "stencil":
+        return generators.stencil_2d(cfg["side"])
+    raise ValueError(cfg["kind"])
+
+
+def run_one(cfg, k=50, reps=3):
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_lanczos.core.pipeline import best_device_pack
+    from tpu_lanczos.core.lanczos import lanczos
+
+    t0 = time.time()
+    g = build(cfg)
+    t_build = time.time() - t0
+    t0 = time.time()
+    dg = best_device_pack(g)
+    t_pack = time.time() - t0
+    x = jnp.asarray(dg.permute_in(np.ones(g.n), np.float32))
+
+    def run():
+        st = lanczos(dg, x, k)
+        return np.asarray(st.alpha)
+
+    t0 = time.time()
+    alpha = run()
+    t_compile = time.time() - t0
+    assert np.all(np.isfinite(alpha))
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    t = float(np.median(times))
+
+    # index-traffic roofline: bytes the SpMV must move per iteration
+    fmt = type(dg).__name__
+    if fmt == "CPGGraph":
+        idx_bytes = sum(
+            int(np.prod(lv["l1"].shape)) + int(np.prod(lv["l2"].shape))
+            for lv in dg.levels
+        )
+    else:
+        idx_bytes = g.nnz * 8
+    roofline_s = k * idx_bytes / (HBM_GBPS * 1e9)
+    out = dict(
+        name=cfg["name"], n=g.n, nnz=g.nnz, fmt=fmt, k=k,
+        build_s=round(t_build, 1), pack_s=round(t_pack, 1),
+        compile_s=round(t_compile, 1), lanczos_s=round(t, 4),
+        gnnz_per_s=round(g.nnz * k / t / 1e9, 2),
+        roofline_pct=round(100 * roofline_s / t, 1),
+        analog=cfg.get("analog"), ref_s=cfg.get("ref_s"),
+        vs_ref=round(cfg["ref_s"] / t, 2) if cfg.get("ref_s") else None,
+    )
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="only the two smallest configs")
+    ap.add_argument("--only", help="comma-separated config names")
+    args = ap.parse_args(argv)
+    configs = CONFIGS[:1] + CONFIGS[2:3] if args.quick else CONFIGS
+    if args.only:
+        names = set(args.only.split(","))
+        configs = [c for c in CONFIGS if c["name"] in names]
+    results = [run_one(c) for c in configs]
+    print(f"\n{'name':22} {'n':>10} {'nnz':>11} {'fmt':9} "
+          f"{'lanczos_s':>9} {'Gnnz/s':>7} {'vs_ref':>7}", file=sys.stderr)
+    for r in results:
+        print(f"{r['name']:22} {r['n']:>10} {r['nnz']:>11} {r['fmt']:9} "
+              f"{r['lanczos_s']:>9} {r['gnnz_per_s']:>7} "
+              f"{r['vs_ref'] if r['vs_ref'] else '-':>7}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

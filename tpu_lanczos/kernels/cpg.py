@@ -239,17 +239,34 @@ def pack_cpg(
     theta: int | None = None,
     seed: int = 0,
     sub: int | None = None,
+    order: str = "auto",
 ) -> CPGGraph:
     """Pack a host CSR graph into the CPG device format.
 
     ``sub`` (chunk height in sublanes, multiple of 128) trades per-tile
     gather/select work against block density; auto: 256 for graphs with
-    >= a few hundred K rows, else 128."""
+    >= a few hundred K rows, else 128.
+
+    ``order`` picks the vertex arrangement:
+    - "locality": keep the input order (mesh/road graphs whose natural
+      ordering is spatial -> entries concentrate in near-diagonal chunk
+      pairs, which is what sets tile count);
+    - "degree": degree-sorted strided dealing (power-law graphs -> fair
+      degree mix per lane/column, bounded tier maxima);
+    - "auto": by degree coefficient-of-variation (the load-balancing
+      dichotomy the reference handled with get_blockrows vs
+      dynamic-parallelism kernels, cu_SPMV.cu:121-251).
+    """
     n = graph.n
     rng = np.random.default_rng(seed)
     if sub is None:
         sub = 256 if n >= 200_000 else LANE
     assert sub % LANE == 0
+    degrees0 = graph.degrees
+    if order == "auto":
+        d_mean0 = degrees0.mean() if n else 1.0
+        cv = float(degrees0.std() / max(d_mean0, 1e-9))
+        order = "locality" if cv < 0.5 else "degree"
     if theta is None:
         d_mean = max(graph.nnz / max(n, 1), 1.0)
         theta = int(min(max(2 * d_mean + 8 * np.sqrt(d_mean), 16), 120))
@@ -275,16 +292,19 @@ def pack_cpg(
         cur_src = new_ids
         cur_dst = uniq[parents2]
 
-    # ---- permutation: degree-sorted, dealt with a strided mix so that
-    # neighboring positions (same sublane/lane groups) carry a fair
-    # degree mix, then packed skipping lane 127
+    # ---- permutation, then packing skipping lane 127
     deg = np.bincount(unit, minlength=n_units)
     for s_arr, d_arr in reduce_edges:
         deg += np.bincount(d_arr, minlength=n_units)
-    order = np.argsort(-deg, kind="stable")
-    # strided deal over a 128-wide cycle mixes degrees across lanes
-    rank = np.empty(n_units, dtype=np.int64)
-    rank[order] = np.arange(n_units)
+    if order == "locality":
+        # natural order: unit ids ascend (virtuals trail their creation
+        # order, which is row-sorted too) -> spatial locality preserved
+        rank = np.arange(n_units, dtype=np.int64)
+    else:
+        # degree-sorted strided dealing mixes degrees across lanes/columns
+        srt = np.argsort(-deg, kind="stable")
+        rank = np.empty(n_units, dtype=np.int64)
+        rank[srt] = np.arange(n_units)
     n_chunks = max(int(np.ceil(n_units / (sub * REAL_LANES))), 1)
     pos_of = _pos_of_unit(rank, sub)
     new_of_old = pos_of[:n]

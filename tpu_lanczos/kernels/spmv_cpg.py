@@ -33,18 +33,18 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_lanczos.kernels.cpg import CPGGraph, LANE
 
 
-def _make_kernel(sub: int):
+def _make_kernel(sub: int, resident_x: bool):
     n_slab = sub // LANE
 
     def _kernel(starts, counts, s_ids, l1_hbm, l2_hbm, x_ref, o_ref,
-                l1_buf, l2_buf, sems):
+                l1_buf, l2_buf, xs_buf, sems):
         d = pl.program_id(0)
         start = starts[d]
         count = counts[d]
 
         def dma(slot, i):
             t = start + i
-            return (
+            copies = [
                 pltpu.make_async_copy(
                     l1_hbm.at[pl.ds(t * sub, sub), :], l1_buf.at[slot],
                     sems.at[slot, 0],
@@ -53,13 +53,19 @@ def _make_kernel(sub: int):
                     l2_hbm.at[pl.ds(t * LANE, LANE), :], l2_buf.at[slot],
                     sems.at[slot, 1],
                 ),
-            )
+            ]
+            if not resident_x:
+                s = s_ids[t]
+                copies.append(pltpu.make_async_copy(
+                    x_ref.at[pl.ds(s * sub, sub), :], xs_buf.at[slot],
+                    sems.at[slot, 2],
+                ))
+            return copies
 
         @pl.when(count > 0)
         def _():
-            a, b = dma(0, 0)
-            a.start()
-            b.start()
+            for c in dma(0, 0):
+                c.start()
 
         def body(i, acc):
             two = jnp.asarray(2, i.dtype)
@@ -68,16 +74,17 @@ def _make_kernel(sub: int):
 
             @pl.when(i + 1 < count)
             def _():
-                a, b = dma(nxt, i + 1)
-                a.start()
-                b.start()
+                for c in dma(nxt, i + 1):
+                    c.start()
 
-            a, b = dma(slot, i)
-            a.wait()
-            b.wait()
+            for c in dma(slot, i):
+                c.wait()
 
-            s = s_ids[start + i]
-            xs = x_ref[pl.ds(s * sub, sub), :]
+            if resident_x:
+                s = s_ids[start + i]
+                xs = x_ref[pl.ds(s * sub, sub), :]
+            else:
+                xs = xs_buf[slot]
             g1 = jnp.take_along_axis(
                 xs, l1_buf[slot].astype(jnp.int32), axis=1
             )
@@ -110,16 +117,24 @@ def _make_kernel(sub: int):
     return _kernel
 
 
+# x stays fully VMEM-resident below this size; beyond it, source chunks
+# stream through a third double-buffered DMA lane from HBM
+_RESIDENT_X_LIMIT = 8 * 1024 * 1024
+
+
 def _run_level(x2d, level, n_chunks, sub, interpret):
+    resident_x = x2d.size * x2d.dtype.itemsize <= _RESIDENT_X_LIMIT
     return pl.pallas_call(
-        _make_kernel(sub),
+        _make_kernel(sub, resident_x),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # starts, counts, s_ids
             grid=(n_chunks,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),  # l1 stays in HBM
                 pl.BlockSpec(memory_space=pltpu.ANY),  # l2 stays in HBM
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # x2d resident
+                pl.BlockSpec(
+                    memory_space=pltpu.VMEM if resident_x else pltpu.ANY
+                ),
             ],
             out_specs=pl.BlockSpec(
                 (LANE, sub), lambda d, *_: (d, 0), memory_space=pltpu.VMEM
@@ -127,7 +142,8 @@ def _run_level(x2d, level, n_chunks, sub, interpret):
             scratch_shapes=[
                 pltpu.VMEM((2, sub, LANE), jnp.int8),
                 pltpu.VMEM((2, LANE, sub), jnp.uint8),
-                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.VMEM((2, sub, LANE), x2d.dtype),
+                pltpu.SemaphoreType.DMA((2, 3)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((n_chunks * LANE, sub), x2d.dtype),
@@ -160,7 +176,8 @@ def spmv_cpg(cg: CPGGraph, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarr
 
 
 def available_for(graph) -> bool:
-    """VMEM bound: x2d (4B/row) plus one output block must stay resident."""
+    """The HBM-streamed-x variant lifts the VMEM bound; the remaining
+    limits are HBM capacity for the index tiles and host pack time."""
     try:
         import jax
 
@@ -168,7 +185,7 @@ def available_for(graph) -> bool:
             return False
     except Exception:
         return False
-    return graph.n <= 2_500_000
+    return graph.n <= 80_000_000
 
 
 def pack(graph):

@@ -32,7 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="generate Barabasi-Albert with this degree instead")
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--dtype", default="float32", choices=["float32", "float64"])
-    p.add_argument("--fmt", default="auto", choices=["auto", "ell", "coo", "hyb"])
+    p.add_argument("--fmt", default="best",
+                   choices=["best", "auto", "ell", "coo", "hyb", "cpg", "cst"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--shards", type=int, default=0,
                    help="row-shard over this many devices (0 = single device)")

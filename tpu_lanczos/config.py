@@ -24,18 +24,42 @@ class Config:
     log_scale_output: bool = False
 
     # device format selection for the sparse matrix
-    fmt: str = "auto"  # "auto" | "ell" | "coo" | "hyb"
+    # "best" picks the Pallas CPG kernel on TPU, XLA formats elsewhere
+    fmt: str = "best"  # "best" | "auto" | "ell" | "coo" | "hyb" | "cpg" | "cst"
+    # CPG pack parameters (kernels/cpg.py; None = auto)
+    cpg_theta: int | None = None   # virtual-row split threshold
+    cpg_sub: int | None = None     # chunk height in sublanes
+    cpg_order: str = "auto"        # "auto" | "locality" | "degree"
+    # XLA-format parameters (kernels/formats.py)
     ell_pct: float = 98.0  # hybrid: ELL width percentile; rest spills to COO
-    row_tile: int = 8  # sublane tiling for padded row counts
-    lane_tile: int = 128  # lane tiling for padded widths / nnz
+    lane_tile: int = 128
 
-    # kernel selection
-    spmv_impl: str = "auto"  # "auto" | "jnp" | "pallas"
+    # distribution
+    shards: int = 0  # row-shard over this many devices (0 = single device)
 
     # graph source (CLI parity with reference getopt flags -f -k -n -e -b -v,
     # parallel-final/lib/helpers.cu:31-63)
     filename: str | None = None
     n: int = 10000
     edges: int = 30000
-    barabasi_deg: int = 10
+    barabasi_deg: int | None = None
+    seed: int = 0
     verbose: bool = False
+
+    @classmethod
+    def from_args(cls, args) -> "Config":
+        """Build from the CLI's parsed argparse namespace."""
+        return cls(
+            krylov_dim=args.krylov,
+            reorthogonalize=args.reorthogonalize,
+            dtype=args.dtype,
+            log_scale_output=args.log_scale,
+            fmt=args.fmt,
+            shards=args.shards,
+            filename=args.file,
+            n=args.n,
+            edges=args.edges,
+            barabasi_deg=args.barabasi,
+            seed=args.seed,
+            verbose=args.verbose,
+        )

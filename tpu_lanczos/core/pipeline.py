@@ -65,6 +65,41 @@ def expm_action_device(
     return out, state
 
 
+def run_config(cfg, graph: CSRGraph | None = None, x: np.ndarray | None = None):
+    """Run the pipeline from a :class:`tpu_lanczos.config.Config` — the
+    library-level consumer of the one-dataclass flag surface (SURVEY.md §5).
+    Returns a LanczosResult (single device) or the sharded tuple."""
+    if graph is None:
+        from tpu_lanczos.graphs import generators, io as gio
+
+        if cfg.filename:
+            graph = gio.read_mtx(cfg.filename)
+        elif cfg.barabasi_deg is not None:
+            graph = generators.barabasi_albert(cfg.n, cfg.barabasi_deg, seed=cfg.seed)
+        else:
+            graph = generators.uniform_random(cfg.n, cfg.edges, seed=cfg.seed)
+    common = dict(
+        k=cfg.krylov_dim, dtype=cfg.dtype,
+        reorthogonalize=cfg.reorthogonalize, log_scale=cfg.log_scale_output,
+    )
+    if cfg.shards:
+        import jax
+
+        from tpu_lanczos.dist import make_mesh, expm_action_sharded
+
+        fmt = "auto" if cfg.fmt in ("best", "cpg", "cst") else cfg.fmt
+        return expm_action_sharded(
+            graph, x, mesh=make_mesh(cfg.shards), fmt=fmt, **common
+        )
+    dg = None
+    if cfg.fmt == "cpg":
+        from tpu_lanczos.kernels.cpg import pack_cpg
+
+        dg = pack_cpg(graph, theta=cfg.cpg_theta, sub=cfg.cpg_sub,
+                      order=cfg.cpg_order)
+    return expm_action(graph, x, fmt=cfg.fmt, dg=dg, **common)
+
+
 def best_device_pack(graph: CSRGraph):
     """Pack with the fastest format for the current backend: the Pallas
     kernel's format on TPU when supported, else the auto XLA format."""

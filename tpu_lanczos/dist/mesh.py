@@ -16,8 +16,21 @@ import numpy as np
 ROWS = "rows"
 
 
+def init_distributed(**kw) -> None:
+    """Initialize multi-host JAX (DCN) before any backend use.
+
+    Thin wrapper over ``jax.distributed.initialize`` so multi-host runs
+    (SURVEY.md §7 step 6) use the same mesh code path: after this,
+    ``make_mesh(global_devices=True)`` spans every chip in the slice and
+    the row-sharded shard_map program is unchanged — XLA routes the
+    all_gather/psum over ICI within hosts and DCN across them.
+    """
+    jax.distributed.initialize(**kw)
+
+
 def make_mesh(n_devices: int | None = None, devices=None) -> jax.sharding.Mesh:
-    """1-D mesh over ``n_devices`` (default: all local devices)."""
+    """1-D mesh over ``n_devices`` (default: every device in the slice —
+    after ``init_distributed`` that spans all hosts)."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:

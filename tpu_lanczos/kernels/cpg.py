@@ -306,6 +306,11 @@ def pack_cpg(
         rank = np.empty(n_units, dtype=np.int64)
         rank[srt] = np.arange(n_units)
     n_chunks = max(int(np.ceil(n_units / (sub * REAL_LANES))), 1)
+    # bucket the chunk count as well (the grid size is part of the
+    # compiled kernel's cache key); extra chunks have zero tiles
+    n_chunks = _round_up(
+        n_chunks, max(8, 1 << max((n_chunks - 1).bit_length() - 2, 0))
+    )
     pos_of = _pos_of_unit(rank, sub)
     new_of_old = pos_of[:n]
 
@@ -321,11 +326,28 @@ def pack_cpg(
     dev_levels = []
     for lv in levels:
         starts, counts = _level_ranges(lv.d_ids, n_chunks)
+        # pad the tile arrays to coarse buckets so the Pallas kernel's
+        # compiled shape is shared across graphs/parameters (tile ranges
+        # never reference the ghost pad, so it costs nothing at runtime)
+        T = lv.s_ids.shape[0]
+        T_pad = _round_up(
+            max(T, 1),
+            max(256, 1 << max((max(T, 1) - 1).bit_length() - 2, 0)),
+        )
+        l1 = np.full((T_pad * sub, LANE), LANE - 1, dtype=np.int8)
+        l1[: T * sub] = lv.l1
+        l2 = np.zeros((T_pad * LANE, sub), dtype=np.uint8)
+        l2[: T * LANE] = lv.l2
+        ids_pad = np.zeros(T_pad, dtype=np.int32)
+        s_ids = ids_pad.copy()
+        s_ids[:T] = lv.s_ids
+        d_ids = ids_pad.copy()
+        d_ids[:T] = lv.d_ids
         dev_levels.append(dict(
-            l1=jnp.asarray(lv.l1),
-            l2=jnp.asarray(lv.l2),
-            s_ids=jnp.asarray(lv.s_ids),
-            d_ids=jnp.asarray(lv.d_ids),
+            l1=jnp.asarray(l1),
+            l2=jnp.asarray(l2),
+            s_ids=jnp.asarray(s_ids),
+            d_ids=jnp.asarray(d_ids),
             starts=jnp.asarray(starts),
             counts=jnp.asarray(counts),
         ))

@@ -22,16 +22,23 @@ capabilities of the CUDA/C++ reference project hdelan/MSc-HPC-Final-Project:
 from tpu_lanczos.graphs.csr import CSRGraph
 from tpu_lanczos.graphs import io as graph_io
 from tpu_lanczos.graphs import generators
-from tpu_lanczos.core.pipeline import expm_action, LanczosResult
+from tpu_lanczos.core.pipeline import (
+    expm_action,
+    run_config,
+    best_device_pack,
+    LanczosResult,
+)
 from tpu_lanczos.config import Config
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "CSRGraph",
     "graph_io",
     "generators",
     "expm_action",
+    "run_config",
+    "best_device_pack",
     "LanczosResult",
     "Config",
 ]

@@ -33,8 +33,22 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_lanczos.kernels.cpg import CPGGraph, LANE
 
 
-def _make_kernel(sub: int, resident_x: bool):
+def _pick_unroll(avg_tiles_per_chunk: float) -> int:
+    """Tiles per loop iteration (independent chains -> VPU ILP).  High
+    unroll only pays when chunks carry many tiles; with few tiles the
+    clamped-duplicate padding would dominate (mesh graphs)."""
+    if avg_tiles_per_chunk >= 96:
+        return 16
+    if avg_tiles_per_chunk >= 24:
+        return 8
+    if avg_tiles_per_chunk >= 6:
+        return 2
+    return 1
+
+
+def _make_kernel(sub: int, resident_x: bool, U: int):
     n_slab = sub // LANE
+    n_buf = 2 * U  # double-buffered groups of U tiles
 
     def _kernel(starts, counts, s_ids, l1_hbm, l2_hbm, x_ref, o_ref,
                 l1_buf, l2_buf, xs_buf, sems):
@@ -43,7 +57,9 @@ def _make_kernel(sub: int, resident_x: bool):
         count = counts[d]
 
         def dma(slot, i):
-            t = start + i
+            # i is clamped to the tile range; tile arrays are ghost-padded
+            # past every level, so a clamped duplicate read is always safe
+            t = start + jnp.minimum(i, jnp.maximum(count - 1, 0))
             copies = [
                 pltpu.make_async_copy(
                     l1_hbm.at[pl.ds(t * sub, sub), :], l1_buf.at[slot],
@@ -62,26 +78,22 @@ def _make_kernel(sub: int, resident_x: bool):
                 ))
             return copies
 
-        @pl.when(count > 0)
-        def _():
-            for c in dma(0, 0):
-                c.start()
-
-        def body(i, acc):
-            two = jnp.asarray(2, i.dtype)
-            slot = jax.lax.rem(i, two)
-            nxt = jax.lax.rem(i + 1, two)
-
-            @pl.when(i + 1 < count)
-            def _():
-                for c in dma(nxt, i + 1):
+        def start_group(g):
+            base = g * U
+            for u in range(U):
+                slot = (base + u) % n_buf
+                for c in dma(slot, base + u):
                     c.start()
 
-            for c in dma(slot, i):
-                c.wait()
+        @pl.when(count > 0)
+        def _():
+            start_group(0)
 
+        def chain(slot, i):
+            """One tile's routing chain; ghost/duplicate tiles are zeroed
+            by the caller's mask."""
             if resident_x:
-                s = s_ids[start + i]
+                s = s_ids[start + jnp.minimum(i, jnp.maximum(count - 1, 0))]
                 xs = x_ref[pl.ds(s * sub, sub), :]
             else:
                 xs = xs_buf[slot]
@@ -91,27 +103,46 @@ def _make_kernel(sub: int, resident_x: bool):
             g2 = g1.T  # (128, sub)
             l2 = l2_buf[slot].astype(jnp.int32)  # (128, sub)
             if n_slab == 1:
-                g3 = jnp.take_along_axis(g2, l2, axis=1)
-            else:
-                slabs = []
-                for j in range(n_slab):  # output slabs along rd
-                    idx = l2[:, j * LANE:(j + 1) * LANE]
-                    res = jnp.zeros((LANE, LANE), x_ref.dtype)
-                    for si in range(n_slab):  # source slices along ss
-                        sl_idx = jnp.clip(idx - si * LANE, 0, LANE - 1)
-                        part = jnp.take_along_axis(
-                            g2[:, si * LANE:(si + 1) * LANE], sl_idx, axis=1
-                        )
-                        res = jnp.where(
-                            (idx >= si * LANE) & (idx < (si + 1) * LANE),
-                            part, res,
-                        )
-                    slabs.append(res)
-                g3 = jnp.concatenate(slabs, axis=1)  # (128, sub)
-            return acc + g3
+                return jnp.take_along_axis(g2, l2, axis=1)
+            slabs = []
+            for j in range(n_slab):  # output slabs along rd
+                idx = l2[:, j * LANE:(j + 1) * LANE]
+                res = jnp.zeros((LANE, LANE), x_ref.dtype)
+                for si in range(n_slab):  # source slices along ss
+                    sl_idx = jnp.clip(idx - si * LANE, 0, LANE - 1)
+                    part = jnp.take_along_axis(
+                        g2[:, si * LANE:(si + 1) * LANE], sl_idx, axis=1
+                    )
+                    res = jnp.where(
+                        (idx >= si * LANE) & (idx < (si + 1) * LANE),
+                        part, res,
+                    )
+                slabs.append(res)
+            return jnp.concatenate(slabs, axis=1)  # (128, sub)
+
+        n_groups = (count + (U - 1)) // U
+
+        def body(g, acc):
+            @pl.when(g + 1 < n_groups)
+            def _():
+                start_group(g + 1)
+
+            base = g * U
+            for u in range(U):
+                slot = (base + u) % n_buf
+                for c in dma(slot, base + u):
+                    c.wait()
+            for u in range(U):
+                i = base + u
+                slot = (base + u) % n_buf
+                g3 = chain(slot, i)
+                if U > 1:
+                    g3 = jnp.where(i < count, g3, jnp.zeros_like(g3))
+                acc = acc + g3
+            return acc
 
         o_ref[:] = jax.lax.fori_loop(
-            0, count, body, jnp.zeros((LANE, sub), x_ref.dtype)
+            0, n_groups, body, jnp.zeros((LANE, sub), x_ref.dtype)
         )
 
     return _kernel
@@ -124,8 +155,9 @@ _RESIDENT_X_LIMIT = 8 * 1024 * 1024
 
 def _run_level(x2d, level, n_chunks, sub, interpret):
     resident_x = x2d.size * x2d.dtype.itemsize <= _RESIDENT_X_LIMIT
+    U = _pick_unroll(level["s_ids"].shape[0] / max(n_chunks, 1))
     return pl.pallas_call(
-        _make_kernel(sub, resident_x),
+        _make_kernel(sub, resident_x, U),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # starts, counts, s_ids
             grid=(n_chunks,),
@@ -140,10 +172,10 @@ def _run_level(x2d, level, n_chunks, sub, interpret):
                 (LANE, sub), lambda d, *_: (d, 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, sub, LANE), jnp.int8),
-                pltpu.VMEM((2, LANE, sub), jnp.uint8),
-                pltpu.VMEM((2, sub, LANE), x2d.dtype),
-                pltpu.SemaphoreType.DMA((2, 3)),
+                pltpu.VMEM((2 * U, sub, LANE), jnp.int8),
+                pltpu.VMEM((2 * U, LANE, sub), jnp.uint8),
+                pltpu.VMEM((2 * U, sub, LANE), x2d.dtype),
+                pltpu.SemaphoreType.DMA((2 * U, 3)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((n_chunks * LANE, sub), x2d.dtype),

@@ -1,0 +1,63 @@
+"""Row-sharded CPG kernel tests (interpret mode on the virtual CPU mesh)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tpu_lanczos.graphs import generators
+from tpu_lanczos.dist import make_mesh
+from tpu_lanczos.dist.mesh import ROWS
+from tpu_lanczos.dist.cpg_sharded import pack_cpg_sharded, lanczos_cpg_sharded
+from tpu_lanczos.core import expmv
+from tpu_lanczos.eval import oracle
+
+
+def _run(g, D, k=25, **kw):
+    mesh = make_mesh(D)
+    sg = pack_cpg_sharded(g, D, mesh=mesh)
+    x = jax.device_put(
+        jnp.asarray(sg.permute_in(np.ones(g.n), np.float64)),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(ROWS)),
+    )
+    st = lanczos_cpg_sharded(sg, x, k, mesh, interpret=True, **kw)
+    return sg, st
+
+
+GRAPHS = {
+    "barabasi": lambda: generators.barabasi_albert(3000, 8, seed=2, use_native=False),
+    "stencil": lambda: generators.stencil_2d(60),
+    "uniform": lambda: generators.uniform_random(2500, 9000, seed=1),
+}
+
+
+@pytest.mark.parametrize("name", list(GRAPHS))
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_cpg_matches_oracle(name, n_dev):
+    g = GRAPHS[name]()
+    sg, st = _run(g, n_dev)
+    ans = sg.permute_out(np.asarray(expmv.multiply_out_host_eig(st)))
+    ref = oracle.expm_action(g, np.ones(g.n), 25)
+    assert oracle.rel_error(ans, ref) < 1e-12
+
+
+def test_sharded_cpg_q_basis_stays_sharded():
+    g = GRAPHS["uniform"]()
+    sg, st = _run(g, 4, k=10)
+    assert tuple(st.q_basis.sharding.spec) == (None, ROWS)
+
+
+def test_sharded_cpg_hub_reduce_levels():
+    """Star graph: reduce levels require the inter-level all_gather."""
+    from tpu_lanczos.graphs.csr import CSRGraph
+
+    n = 2000
+    hub = np.stack([np.zeros(n - 1, dtype=np.int64),
+                    np.arange(1, n, dtype=np.int64)], axis=1)
+    ring = np.stack([np.arange(1, n - 1), np.arange(2, n)], axis=1)
+    g = CSRGraph.from_edges(n, np.concatenate([hub, ring]))
+    sg, st = _run(g, 4, k=15)
+    assert len(sg.levels) >= 2
+    ans = sg.permute_out(np.asarray(expmv.multiply_out_host_eig(st)))
+    ref = oracle.expm_action(g, np.ones(g.n), 15)
+    assert oracle.rel_error(ans, ref) < 1e-12

@@ -1,0 +1,267 @@
+"""Row-sharded CPG: the Pallas SpMV kernel inside shard_map.
+
+The XLA-format sharded path (dist/lanczos.py) is correct everywhere but
+gather-slow on real TPUs; this module shards the CPG format instead:
+
+- positions are the usual CPG layout; chunks are split into contiguous
+  blocks of ``C_loc = n_chunks / n_shards`` per device, so the flat
+  vector's natural P('rows') sharding IS the chunk sharding;
+- each device owns the tiles whose DEST chunk it owns (the kernel's
+  d-major tile ordering makes those contiguous ranges), ghost-padded to
+  a common per-shard tile count;
+- per iteration, q is all_gather'd (the halo exchange) and each device
+  runs the unmodified CPG kernel over its local tiles — source chunk ids
+  are global into the gathered vector;
+- virtual-row reduce levels read partial sums, which are sharded, so
+  each reduce level is preceded by an all_gather of the accumulator
+  (reduce levels are tiny; the gather is the cost of hub splitting).
+
+This replaces the reference's dual-GPU row-partitioned SpMV
+(parallel-two-cards/lib/cu_lanczos.cu:62-168) with its per-iteration
+broadcast generalized to an N-chip all_gather over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_lanczos.graphs.csr import CSRGraph
+from tpu_lanczos.kernels.cpg import CPGGraph, pack_cpg, LANE, _round_up
+from tpu_lanczos.kernels import spmv_cpg as _k
+from tpu_lanczos.dist.mesh import ROWS
+from tpu_lanczos.utils import HostArray
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class ShardedCPG:
+    """CPG tiles split by dest chunk over an n_shards mesh.
+
+    Level arrays carry a leading shard axis (sharded P(ROWS, ...)); d
+    ids and starts are LOCAL to the shard; s ids stay global.
+    """
+
+    n: int
+    n_shards: int
+    n_chunks: int          # global, divisible by n_shards
+    nnz: int
+    theta: int
+    sub: int
+    levels: tuple          # per-level dict of stacked jnp arrays
+    realmask: jnp.ndarray  # (n_pad,)
+    new_of_old: np.ndarray
+
+    def tree_flatten(self):
+        return (self.levels, self.realmask), (
+            self.n, self.n_shards, self.n_chunks, self.nnz, self.theta,
+            self.sub, HostArray(self.new_of_old),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        n, n_shards, n_chunks, nnz, theta, sub, noo = aux
+        levels, realmask = leaves
+        return cls(n=n, n_shards=n_shards, n_chunks=n_chunks, nnz=nnz,
+                   theta=theta, sub=sub, levels=levels, realmask=realmask,
+                   new_of_old=noo.a)
+
+    @property
+    def n_pad(self) -> int:
+        return self.n_chunks * self.sub * LANE
+
+    @property
+    def c_loc(self) -> int:
+        return self.n_chunks // self.n_shards
+
+    def permute_in(self, x: np.ndarray, dtype) -> np.ndarray:
+        out = np.zeros(self.n_pad, dtype=dtype)
+        out[self.new_of_old] = x
+        return out
+
+    def permute_out(self, y: np.ndarray) -> np.ndarray:
+        return np.asarray(y).reshape(-1)[self.new_of_old]
+
+
+def pack_cpg_sharded(
+    graph: CSRGraph, n_shards: int, mesh: jax.sharding.Mesh | None = None, **kw
+) -> ShardedCPG:
+    """Pack for an ``n_shards`` mesh by splitting a global CPG pack's
+    tiles along their (d-major sorted) dest chunks."""
+    cg: CPGGraph = pack_cpg(graph, **kw)
+    sub = cg.sub
+    C = _round_up(cg.n_chunks, n_shards)
+    c_loc = C // n_shards
+
+    levels = []
+    for lv in cg.levels:
+        d_ids = np.asarray(lv["d_ids"])
+        s_ids = np.asarray(lv["s_ids"])
+        l1 = np.asarray(lv["l1"])
+        l2 = np.asarray(lv["l2"])
+        starts = np.asarray(lv["starts"])
+        counts = np.asarray(lv["counts"])
+        counts = np.pad(counts, (0, C - counts.size))
+        starts = np.pad(starts, (0, C - starts.size),
+                        constant_values=starts[-1] + counts[-1] if counts.size else 0)
+        # per-shard tile ranges over the d-major-sorted tile list
+        sh_start = starts[::c_loc][:n_shards]
+        sh_end = np.append(sh_start[1:], int(counts.sum()))
+        t_loc = int((sh_end - sh_start).max()) if n_shards else 1
+        t_loc = _round_up(max(t_loc, 1), 256)
+
+        L1 = np.full((n_shards, t_loc * sub, LANE), LANE - 1, dtype=np.int8)
+        L2 = np.zeros((n_shards, t_loc * LANE, sub), dtype=np.uint8)
+        S = np.zeros((n_shards, t_loc), dtype=np.int32)
+        ST = np.zeros((n_shards, c_loc), dtype=np.int32)
+        CT = np.zeros((n_shards, c_loc), dtype=np.int32)
+        for s in range(n_shards):
+            a, b = int(sh_start[s]), int(sh_end[s])
+            m = b - a
+            L1[s, : m * sub] = l1[a * sub: b * sub]
+            L2[s, : m * LANE] = l2[a * LANE: b * LANE]
+            S[s, :m] = s_ids[a:b]
+            ST[s] = starts[s * c_loc: (s + 1) * c_loc] - a
+            CT[s] = counts[s * c_loc: (s + 1) * c_loc]
+        lvd = dict(
+            l1=jnp.asarray(L1), l2=jnp.asarray(L2), s_ids=jnp.asarray(S),
+            starts=jnp.asarray(ST), counts=jnp.asarray(CT),
+        )
+        if mesh is not None:
+            P = jax.sharding.PartitionSpec
+            NS = jax.sharding.NamedSharding
+            lvd = {k: jax.device_put(
+                v, NS(mesh, P(ROWS, *([None] * (v.ndim - 1))))
+            ) for k, v in lvd.items()}
+        levels.append(lvd)
+
+    realmask = cg.realmask
+    pad = C * sub * LANE - cg.n_pad
+    if pad:
+        realmask = jnp.concatenate(
+            [realmask, jnp.zeros(pad, realmask.dtype)]
+        )
+    return ShardedCPG(
+        n=cg.n, n_shards=n_shards, n_chunks=C, nnz=cg.nnz, theta=cg.theta,
+        sub=sub, levels=tuple(levels), realmask=realmask,
+        new_of_old=cg.new_of_old,
+    )
+
+
+def _local_spmv(levels_loc, realmask_loc, q_loc, sub, c_loc, interpret):
+    """Per-shard SpMV (runs inside shard_map): all_gather the halo, run
+    the unmodified CPG kernel over this shard's tiles."""
+    n_sub_loc = c_loc * sub
+
+    def untranspose(yt):
+        return yt.reshape(c_loc, LANE, sub).transpose(0, 2, 1).reshape(
+            n_sub_loc, LANE
+        )
+
+    def run(level, src_full):
+        lvl = {k: v[0] for k, v in level.items()}  # drop shard axis
+        x2d = src_full.reshape(-1, LANE)
+        yt = _k._run_level(x2d, lvl, c_loc, sub, interpret)
+        return untranspose(yt)
+
+    q_full = jax.lax.all_gather(q_loc, ROWS, tiled=True)
+    y_loc = run(levels_loc[0], q_full).reshape(-1)
+    for level in levels_loc[1:]:
+        acc_full = jax.lax.all_gather(y_loc, ROWS, tiled=True)
+        y_loc = y_loc + run(level, acc_full).reshape(-1)
+    return y_loc * realmask_loc.astype(y_loc.dtype)
+
+
+from functools import partial
+
+from tpu_lanczos.core.lanczos import LanczosState
+
+
+def _pdot(a, b):
+    return jax.lax.psum(
+        jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST), ROWS
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "mesh", "k", "sub", "c_loc", "interpret", "reorthogonalize"))
+def _lanczos_cpg_shmap(mesh, levels, realmask, x, k, sub, c_loc,
+                       interpret, reorthogonalize):
+    P = jax.sharding.PartitionSpec
+
+    def shard_spec(v):
+        return P(ROWS, *([None] * (v.ndim - 1)))
+
+    level_specs = jax.tree.map(shard_spec, levels)
+
+    def f(levels_loc, realmask_loc, x_loc):
+        dtype = x_loc.dtype
+        x_norm = jnp.sqrt(_pdot(x_loc, x_loc))
+        q = x_loc / x_norm
+        q_basis = jax.lax.pcast(
+            jnp.zeros((k, x_loc.shape[0]), dtype=dtype), (ROWS,), to="varying"
+        )
+        alpha = jnp.zeros((k,), dtype=dtype)
+        beta = jnp.zeros((k,), dtype=dtype)
+
+        def body(j, carry):
+            q, q_prev, q_basis, alpha, beta = carry
+            q_basis = jax.lax.dynamic_update_slice(q_basis, q[None, :], (j, 0))
+            v = _local_spmv(levels_loc, realmask_loc, q, sub, c_loc, interpret)
+            a = _pdot(v, q)
+            alpha = alpha.at[j].set(a)
+            b_prev = jnp.where(j > 0, beta[jnp.maximum(j - 1, 0)],
+                               jnp.zeros((), dtype))
+            v = v - a * q - b_prev * q_prev
+            if reorthogonalize:
+                proj = jax.lax.psum(
+                    jnp.dot(q_basis, v, precision=jax.lax.Precision.HIGHEST),
+                    ROWS,
+                )
+                row_ids = jax.lax.broadcasted_iota(jnp.int32, (k,), 0)
+                proj = jnp.where(row_ids <= j, proj, jnp.zeros((), dtype))
+                v = v - jnp.dot(proj, q_basis,
+                                precision=jax.lax.Precision.HIGHEST)
+            b = jnp.sqrt(_pdot(v, v))
+            beta = beta.at[j].set(b)
+            q_next = jnp.where(b > 0, v / jnp.where(b > 0, b, 1),
+                               jnp.zeros_like(v))
+            return (q_next, q, q_basis, alpha, beta)
+
+        init = (q, jnp.zeros_like(q), q_basis, alpha, beta)
+        _, _, q_basis, alpha, beta = jax.lax.fori_loop(0, k, body, init)
+        return alpha, beta, q_basis, x_norm
+
+    return jax.shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(level_specs, P(ROWS), P(ROWS)),
+        out_specs=(P(), P(), P(None, ROWS), P()),
+        # pallas_call's out_shape carries no vma annotation; collective
+        # placement is fully explicit here (all_gather/psum), so skip the
+        # varying-axes checker
+        check_vma=False,
+    )(levels, realmask, x)
+
+
+def lanczos_cpg_sharded(
+    sg: ShardedCPG,
+    x: jnp.ndarray,
+    k: int,
+    mesh: jax.sharding.Mesh,
+    reorthogonalize: bool = False,
+    interpret: bool = False,
+) -> LanczosState:
+    """k-step Lanczos with the CPG kernel row-sharded over ``mesh``.
+    ``x`` is (n_pad,) in CPG-permuted order."""
+    alpha, beta, q_basis, x_norm = _lanczos_cpg_shmap(
+        mesh, sg.levels, sg.realmask, x,
+        k=k, sub=sg.sub, c_loc=sg.c_loc,
+        interpret=interpret, reorthogonalize=reorthogonalize,
+    )
+    return LanczosState(
+        alpha=alpha, beta=beta[: k - 1], q_basis=q_basis, x_norm=x_norm
+    )

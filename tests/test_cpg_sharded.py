@@ -61,3 +61,18 @@ def test_sharded_cpg_hub_reduce_levels():
     ans = sg.permute_out(np.asarray(expmv.multiply_out_host_eig(st)))
     ref = oracle.expm_action(g, np.ones(g.n), 15)
     assert oracle.rel_error(ans, ref) < 1e-12
+
+
+def test_pipeline_expm_action_sharded_cpg():
+    from tpu_lanczos.dist import expm_action_sharded
+
+    g = GRAPHS["barabasi"]()
+    mesh = make_mesh(4)
+    ans, _, _, sg = expm_action_sharded(
+        g, k=20, mesh=mesh, dtype="float64", fmt="cpg"
+    )
+    from tpu_lanczos.dist.cpg_sharded import ShardedCPG
+
+    assert isinstance(sg, ShardedCPG)
+    ref = oracle.expm_action(g, np.ones(g.n), 20)
+    assert oracle.rel_error(ans, ref) < 1e-12

@@ -87,7 +87,7 @@ def run_config(cfg, graph: CSRGraph | None = None, x: np.ndarray | None = None):
 
         from tpu_lanczos.dist import make_mesh, expm_action_sharded
 
-        fmt = "auto" if cfg.fmt in ("best", "cpg", "cst") else cfg.fmt
+        fmt = "auto" if cfg.fmt == "cst" else cfg.fmt
         return expm_action_sharded(
             graph, x, mesh=make_mesh(cfg.shards), fmt=fmt, **common
         )

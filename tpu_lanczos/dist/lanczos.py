@@ -145,16 +145,27 @@ def expm_action_sharded(
     eig_impl: str = "host",
 ):
     """Multi-chip e^A.x. Accepts a host CSRGraph (packs it for the mesh)
-    or a pre-packed ShardedGraph. Returns (ans (n,) numpy in ORIGINAL
-    vertex order, state, sharded_graph)."""
+    or a pre-packed ShardedGraph. ``fmt="cpg"`` (or "best" on TPU) uses
+    the Pallas CPG kernel inside shard_map; XLA formats otherwise.
+    Returns (ans (n,) numpy in ORIGINAL vertex order, state,
+    sharded_graph)."""
     from tpu_lanczos.dist.partition import pack_sharded
+    from tpu_lanczos.dist.cpg_sharded import (
+        ShardedCPG, pack_cpg_sharded, lanczos_cpg_sharded,
+    )
 
-    if isinstance(graph, ShardedGraph):
+    n_shards = mesh.shape[ROWS]
+    if fmt == "best":
+        fmt = "cpg" if jax.default_backend() not in ("cpu", "gpu") else "auto"
+    if isinstance(graph, (ShardedGraph, ShardedCPG)):
         sg = graph
         n = sg.n
+    elif fmt == "cpg":
+        n = graph.n
+        sg = pack_cpg_sharded(graph, n_shards, mesh=mesh)
     else:
         n = graph.n
-        sg = pack_sharded(graph, mesh.shape[ROWS], fmt=fmt, mesh=mesh)
+        sg = pack_sharded(graph, n_shards, fmt=fmt, mesh=mesh)
     k = int(min(k, n - 1))
     dtype = jnp.dtype(dtype)
 
@@ -164,7 +175,16 @@ def expm_action_sharded(
         jnp.asarray(sg.permute_in(x_host, dtype)),
         jax.sharding.NamedSharding(mesh, P(ROWS)),
     )
-    state = lanczos_sharded(sg, x_dev, k, mesh, reorthogonalize=reorthogonalize)
+    if isinstance(sg, ShardedCPG):
+        state = lanczos_cpg_sharded(
+            sg, x_dev, k, mesh,
+            reorthogonalize=reorthogonalize,
+            interpret=jax.default_backend() in ("cpu", "gpu"),
+        )
+    else:
+        state = lanczos_sharded(
+            sg, x_dev, k, mesh, reorthogonalize=reorthogonalize
+        )
 
     if eig_impl == "host":
         out = expmv.multiply_out_host_eig(state, log_scale=log_scale)

@@ -34,6 +34,9 @@ CONFIGS = [
     dict(name="stencil_4000", kind="stencil", side=4000,
          analog="road_central n=14M nnz=34M / hugetrace n=16M nnz=48M",
          ref_s=2.9778),  # mean of road_central 2.7427 and hugetrace 3.2129
+    dict(name="ba_4M_m9", kind="barabasi", n=4_000_000, m=9,
+         analog="com-LiveJournal n=4.0M nnz=69M (power-law social)",
+         ref_s=1.3245),
 ]
 
 HBM_GBPS = 819.0  # v5e

@@ -9,10 +9,11 @@ tile is still expressible as
     lane-gather  ->  transpose  ->  lane-gather
 
 (cross-lane, then cross-sublane via the transpose).  CPG blocks the
-matrix into (source-chunk S, dest-chunk D) pairs of 128x128 positions
-each and routes every nonzero with exactly that chain:
+matrix into (source-chunk S, dest-chunk D) pairs of (sub, 128) positions
+each (sub = 128..512, auto-picked) and routes every nonzero with exactly
+that chain:
 
-  XS = x-chunk S (128, 128)                       [BlockSpec DMA by S]
+  XS = x-chunk S (sub, 128)
   G1[ss, ld] = XS[ss, L1[ss, ld]]                 stage by dest lane
   G2 = G1^T
   G3[ld, rd] = G2[ld, L2[ld, rd]]                 deliver to dest cell
@@ -258,7 +259,7 @@ def pack_cpg(
       dynamic-parallelism kernels, cu_SPMV.cu:121-251).
     """
     n = graph.n
-    rng = np.random.default_rng(seed)
+    del seed  # orderings are deterministic; kept for API stability
     if sub is None:
         sub = 256 if n >= 200_000 else LANE
     assert sub % LANE == 0

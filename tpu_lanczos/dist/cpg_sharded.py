@@ -100,6 +100,7 @@ def pack_cpg_sharded(
     for lv in cg.levels:
         d_ids = np.asarray(lv["d_ids"])
         s_ids = np.asarray(lv["s_ids"])
+        run_ids = np.asarray(lv["run_ids"])
         l1 = np.asarray(lv["l1"])
         l2 = np.asarray(lv["l2"])
         starts = np.asarray(lv["starts"])
@@ -116,6 +117,7 @@ def pack_cpg_sharded(
         L1 = np.full((n_shards, t_loc * sub, LANE), LANE - 1, dtype=np.int8)
         L2 = np.zeros((n_shards, t_loc * LANE, sub), dtype=np.uint8)
         S = np.zeros((n_shards, t_loc), dtype=np.int32)
+        R = np.zeros((n_shards, t_loc), dtype=np.int32)
         ST = np.zeros((n_shards, c_loc), dtype=np.int32)
         CT = np.zeros((n_shards, c_loc), dtype=np.int32)
         for s in range(n_shards):
@@ -124,10 +126,12 @@ def pack_cpg_sharded(
             L1[s, : m * sub] = l1[a * sub: b * sub]
             L2[s, : m * LANE] = l2[a * LANE: b * LANE]
             S[s, :m] = s_ids[a:b]
+            R[s, :m] = run_ids[a:b]
             ST[s] = starts[s * c_loc: (s + 1) * c_loc] - a
             CT[s] = counts[s * c_loc: (s + 1) * c_loc]
         lvd = dict(
             l1=jnp.asarray(L1), l2=jnp.asarray(L2), s_ids=jnp.asarray(S),
+            run_ids=jnp.asarray(R),
             starts=jnp.asarray(ST), counts=jnp.asarray(CT),
         )
         if mesh is not None:

@@ -207,6 +207,17 @@ def _level_ranges(d_ids: np.ndarray, n_chunks: int):
     return starts, counts
 
 
+def _run_ids(s_ids: np.ndarray, d_ids: np.ndarray) -> np.ndarray:
+    """Run id per tile: consecutive tiles of the same (D, S) block (its
+    tiers) form a run.  The streamed-x kernel DMAs each source chunk once
+    per run instead of once per tile."""
+    if s_ids.size == 0:
+        return np.zeros(0, dtype=np.int32)
+    new_run = np.ones(s_ids.size, dtype=np.int64)
+    new_run[1:] = (s_ids[1:] != s_ids[:-1]) | (d_ids[1:] != d_ids[:-1])
+    return (np.cumsum(new_run) - 1).astype(np.int32)
+
+
 def save_cpg(cg: CPGGraph, path: str) -> None:
     """Persist a packed CPGGraph (packing is the expensive host step)."""
     data = dict(
@@ -215,7 +226,7 @@ def save_cpg(cg: CPGGraph, path: str) -> None:
         realmask=np.asarray(cg.realmask),
     )
     for i, lv in enumerate(cg.levels):
-        for k in ("l1", "l2", "s_ids", "d_ids", "starts", "counts"):
+        for k in ("l1", "l2", "s_ids", "d_ids", "run_ids", "starts", "counts"):
             data[f"lv{i}_{k}"] = np.asarray(lv[k])
     np.savez(path, **data)
 
@@ -224,7 +235,7 @@ def load_cpg(path: str) -> CPGGraph:
     z = np.load(path)
     levels = tuple(
         {k: jnp.asarray(z[f"lv{i}_{k}"])
-         for k in ("l1", "l2", "s_ids", "d_ids", "starts", "counts")}
+         for k in ("l1", "l2", "s_ids", "d_ids", "run_ids", "starts", "counts")}
         for i in range(int(z["n_levels"]))
     )
     return CPGGraph(
@@ -327,6 +338,7 @@ def pack_cpg(
     dev_levels = []
     for lv in levels:
         starts, counts = _level_ranges(lv.d_ids, n_chunks)
+        run_ids_real = _run_ids(lv.s_ids, lv.d_ids)
         # pad the tile arrays to coarse buckets so the Pallas kernel's
         # compiled shape is shared across graphs/parameters (tile ranges
         # never reference the ghost pad, so it costs nothing at runtime)
@@ -344,11 +356,14 @@ def pack_cpg(
         s_ids[:T] = lv.s_ids
         d_ids = ids_pad.copy()
         d_ids[:T] = lv.d_ids
+        run_ids = ids_pad.copy()
+        run_ids[:T] = run_ids_real
         dev_levels.append(dict(
             l1=jnp.asarray(l1),
             l2=jnp.asarray(l2),
             s_ids=jnp.asarray(s_ids),
             d_ids=jnp.asarray(d_ids),
+            run_ids=jnp.asarray(run_ids),
             starts=jnp.asarray(starts),
             counts=jnp.asarray(counts),
         ))

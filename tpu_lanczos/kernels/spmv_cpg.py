@@ -50,17 +50,27 @@ def _make_kernel(sub: int, resident_x: bool, U: int):
     n_slab = sub // LANE
     n_buf = 2 * U  # double-buffered groups of U tiles
 
-    def _kernel(starts, counts, s_ids, l1_hbm, l2_hbm, x_ref, o_ref,
-                l1_buf, l2_buf, xs_buf, sems):
+    def _kernel(starts, counts, s_ids, run_ids, l1_hbm, l2_hbm, x_ref,
+                o_ref, l1_buf, l2_buf, xs_buf, sems):
         d = pl.program_id(0)
         start = starts[d]
         count = counts[d]
 
-        def dma(slot, i):
-            # i is clamped to the tile range; tile arrays are ghost-padded
-            # past every level, so a clamped duplicate read is always safe
-            t = start + jnp.minimum(i, jnp.maximum(count - 1, 0))
-            copies = [
+        def clamp(i):
+            # tile arrays are ghost-padded past every level, so a clamped
+            # duplicate read is always safe
+            return start + jnp.minimum(i, jnp.maximum(count - 1, 0))
+
+        def is_new_run(i):
+            # consecutive tiles of one (D,S) block share their source
+            # chunk; only the run's first tile DMAs it.  The first tile of
+            # a grid step is always a new run (runs never span D chunks).
+            t = clamp(i)
+            return jnp.logical_or(i == 0, run_ids[t] != run_ids[t - 1])
+
+        def dma_idx(slot, i):
+            t = clamp(i)
+            return [
                 pltpu.make_async_copy(
                     l1_hbm.at[pl.ds(t * sub, sub), :], l1_buf.at[slot],
                     sems.at[slot, 0],
@@ -70,20 +80,29 @@ def _make_kernel(sub: int, resident_x: bool, U: int):
                     sems.at[slot, 1],
                 ),
             ]
-            if not resident_x:
-                s = s_ids[t]
-                copies.append(pltpu.make_async_copy(
-                    x_ref.at[pl.ds(s * sub, sub), :], xs_buf.at[slot],
-                    sems.at[slot, 2],
-                ))
-            return copies
+
+        def dma_xs(slot, i):
+            t = clamp(i)
+            s = s_ids[t]
+            return pltpu.make_async_copy(
+                x_ref.at[pl.ds(s * sub, sub), :], xs_buf.at[slot],
+                sems.at[slot, 2],
+            )
+
+        def xs_slot(i):
+            return jax.lax.rem(run_ids[clamp(i)], jnp.asarray(n_buf, jnp.int32))
 
         def start_group(g):
             base = g * U
             for u in range(U):
+                i = base + u
                 slot = (base + u) % n_buf
-                for c in dma(slot, base + u):
+                for c in dma_idx(slot, i):
                     c.start()
+                if not resident_x:
+                    @pl.when(jnp.logical_and(i < count, is_new_run(i)))
+                    def _():
+                        dma_xs(xs_slot(i), i).start()
 
         @pl.when(count > 0)
         def _():
@@ -93,10 +112,10 @@ def _make_kernel(sub: int, resident_x: bool, U: int):
             """One tile's routing chain; ghost/duplicate tiles are zeroed
             by the caller's mask."""
             if resident_x:
-                s = s_ids[start + jnp.minimum(i, jnp.maximum(count - 1, 0))]
+                s = s_ids[clamp(i)]
                 xs = x_ref[pl.ds(s * sub, sub), :]
             else:
-                xs = xs_buf[slot]
+                xs = xs_buf[xs_slot(i)]
             g1 = jnp.take_along_axis(
                 xs, l1_buf[slot].astype(jnp.int32), axis=1
             )
@@ -129,9 +148,14 @@ def _make_kernel(sub: int, resident_x: bool, U: int):
 
             base = g * U
             for u in range(U):
+                i = base + u
                 slot = (base + u) % n_buf
-                for c in dma(slot, base + u):
+                for c in dma_idx(slot, i):
                     c.wait()
+                if not resident_x:
+                    @pl.when(jnp.logical_and(i < count, is_new_run(i)))
+                    def _():
+                        dma_xs(xs_slot(i), i).wait()
             for u in range(U):
                 i = base + u
                 slot = (base + u) % n_buf
@@ -159,7 +183,7 @@ def _run_level(x2d, level, n_chunks, sub, interpret):
     return pl.pallas_call(
         _make_kernel(sub, resident_x, U),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,  # starts, counts, s_ids
+            num_scalar_prefetch=4,  # starts, counts, s_ids, run_ids
             grid=(n_chunks,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),  # l1 stays in HBM
@@ -181,7 +205,7 @@ def _run_level(x2d, level, n_chunks, sub, interpret):
         out_shape=jax.ShapeDtypeStruct((n_chunks * LANE, sub), x2d.dtype),
         interpret=interpret,
     )(
-        level["starts"], level["counts"], level["s_ids"],
+        level["starts"], level["counts"], level["s_ids"], level["run_ids"],
         level["l1"], level["l2"], x2d,
     )
 

@@ -233,11 +233,20 @@ def save_cpg(cg: CPGGraph, path: str) -> None:
 
 def load_cpg(path: str) -> CPGGraph:
     z = np.load(path)
-    levels = tuple(
-        {k: jnp.asarray(z[f"lv{i}_{k}"])
-         for k in ("l1", "l2", "s_ids", "d_ids", "run_ids", "starts", "counts")}
-        for i in range(int(z["n_levels"]))
-    )
+
+    def level(i):
+        lv = {k: jnp.asarray(z[f"lv{i}_{k}"])
+              for k in ("l1", "l2", "s_ids", "d_ids", "starts", "counts")}
+        key = f"lv{i}_run_ids"
+        if key in z:
+            lv["run_ids"] = jnp.asarray(z[key])
+        else:  # packs saved before run caching existed
+            lv["run_ids"] = jnp.asarray(
+                _run_ids(np.asarray(lv["s_ids"]), np.asarray(lv["d_ids"]))
+            )
+        return lv
+
+    levels = tuple(level(i) for i in range(int(z["n_levels"])))
     return CPGGraph(
         n=int(z["n"]), n_chunks=int(z["n_chunks"]), nnz=int(z["nnz"]),
         theta=int(z["theta"]), sub=int(z["sub"]) if "sub" in z else 128,

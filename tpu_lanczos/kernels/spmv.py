@@ -52,18 +52,22 @@ def spmv(dg, x: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
     from tpu_lanczos.kernels.cst import CSTGraph
     from tpu_lanczos.kernels.cpg import CPGGraph
 
+    def _interp():
+        # Pallas kernels compile only for TPU; interpret elsewhere
+        return impl == "interpret" or jax.default_backend() in ("cpu", "gpu")
+
     if isinstance(dg, CPGGraph):
         from tpu_lanczos.kernels import spmv_cpg
 
-        return spmv_cpg.spmv_cpg(dg, x, interpret=(impl == "interpret"))
+        return spmv_cpg.spmv_cpg(dg, x, interpret=_interp())
     if isinstance(dg, CSTGraph):
         from tpu_lanczos.kernels import spmv_pallas2
 
-        return spmv_pallas2.spmv_cst(dg, x, interpret=(impl == "interpret"))
+        return spmv_pallas2.spmv_cst(dg, x, interpret=_interp())
     if isinstance(dg, TileGraph):
         from tpu_lanczos.kernels import spmv_pallas
 
-        return spmv_pallas.spmv_tiles(dg, x, interpret=(impl == "interpret"))
+        return spmv_pallas.spmv_tiles(dg, x, interpret=_interp())
     # XLA paths
     if dg.fmt == "ell":
         return _ell_spmv(dg, x)

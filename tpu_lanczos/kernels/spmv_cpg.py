@@ -33,17 +33,25 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_lanczos.kernels.cpg import CPGGraph, LANE
 
 
-def _pick_unroll(avg_tiles_per_chunk: float) -> int:
+def _pick_unroll(avg_tiles_per_chunk: float, sub: int, resident_x: bool) -> int:
     """Tiles per loop iteration (independent chains -> VPU ILP).  High
     unroll only pays when chunks carry many tiles; with few tiles the
-    clamped-duplicate padding would dominate (mesh graphs)."""
+    clamped-duplicate padding would dominate (mesh graphs).  Capped so the
+    2U DMA slots (sub*128*6 bytes each: int8 l1 + uint8 l2 + f32 xs) plus
+    the resident x and output block stay inside ~16MB VMEM."""
     if avg_tiles_per_chunk >= 96:
-        return 16
-    if avg_tiles_per_chunk >= 24:
-        return 8
-    if avg_tiles_per_chunk >= 6:
-        return 2
-    return 1
+        u = 16
+    elif avg_tiles_per_chunk >= 24:
+        u = 8
+    elif avg_tiles_per_chunk >= 6:
+        u = 2
+    else:
+        u = 1
+    budget = 7 * 1024 * 1024 if not resident_x else 6_800_000
+    u_vmem = max(budget // (2 * sub * LANE * 6), 1)
+    while u > u_vmem:
+        u //= 2
+    return max(u, 1)
 
 
 def _make_kernel(sub: int, resident_x: bool, U: int):
@@ -179,7 +187,9 @@ _RESIDENT_X_LIMIT = 8 * 1024 * 1024
 
 def _run_level(x2d, level, n_chunks, sub, interpret):
     resident_x = x2d.size * x2d.dtype.itemsize <= _RESIDENT_X_LIMIT
-    U = _pick_unroll(level["s_ids"].shape[0] / max(n_chunks, 1))
+    U = _pick_unroll(
+        level["s_ids"].shape[0] / max(n_chunks, 1), sub, resident_x
+    )
     return pl.pallas_call(
         _make_kernel(sub, resident_x, U),
         grid_spec=pltpu.PrefetchScalarGridSpec(

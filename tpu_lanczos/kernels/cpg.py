@@ -183,20 +183,38 @@ def _build_cpg_level(src_pos: np.ndarray, dst_pos: np.ndarray, sub: int):
 
     l1 = np.full((T * sub, LANE), LANE - 1, dtype=np.int8)  # ghost -> lane 127
     l1[tile_of * sub + ss, ld] = sl.astype(np.int8)
-    l2 = np.full((T * LANE, sub), -1, dtype=np.int16)
-    l2[tile_of * LANE + ld, rd] = ss.astype(np.int16)
-    # ghost dest cells: any staging sublane whose l1 is ghost for this
-    # (tile, ld); per tile compute first free ss per dest-lane column
-    l1v = l1.reshape(T, sub, LANE)
-    l2v = l2.reshape(T, LANE, sub)
-    free = l1v == (LANE - 1)                     # (T, ss, ld) ghost staging
-    first_free = np.argmax(free, axis=1)         # (T, ld)
-    need = l2v < 0                               # (T, ld, rd)
-    fill_vals = np.repeat(first_free[:, :, None], sub, axis=2)
-    l2v[need] = fill_vals[need]
-    return _CPGLevel(
-        l1=l1, l2=l2.astype(np.uint8), s_ids=s_ids, d_ids=d_ids
+
+    # Ghost dest cells must point at a staging sublane whose l1 is ghost
+    # for their (tile, ld) column.  Compute the first free ss per column
+    # as the mex of the staged ss set via per-column bitmasks (O(E), no
+    # (T, sub, 128) temporaries — this stage used to dominate pack time).
+    n_words = (sub + 63) // 64
+    col = tile_of * LANE + ld                       # (E,) column id
+    bits = np.zeros((T * LANE, n_words), dtype=np.uint64)
+    np.bitwise_or.at(
+        bits, (col, ss // 64), np.uint64(1) << (ss % 64).astype(np.uint64)
     )
+    inv = ~bits
+    first_free = np.zeros(T * LANE, dtype=np.int64)
+    found = np.zeros(T * LANE, dtype=bool)
+    for w in range(n_words):
+        word = inv[:, w]
+        has = word != 0
+        iso = word & (~word + np.uint64(1))         # lowest set bit
+        tz = np.zeros(T * LANE, dtype=np.int64)
+        nz = iso > 0
+        # exact for powers of two up to 2^63
+        tz[nz] = np.round(np.log2(iso[nz].astype(np.float64))).astype(np.int64)
+        upd = has & ~found
+        first_free[upd] = w * 64 + tz[upd]
+        found |= has
+    # fully-staged columns have no ghost dest cells (counting argument);
+    # clamp so the unused default stays in range
+    first_free = np.minimum(first_free, sub - 1)
+
+    l2 = np.repeat(first_free[:, None], sub, axis=1).astype(np.uint8)
+    l2[col, rd] = ss.astype(np.uint8)
+    return _CPGLevel(l1=l1, l2=l2, s_ids=s_ids, d_ids=d_ids)
 
 
 def _level_ranges(d_ids: np.ndarray, n_chunks: int):

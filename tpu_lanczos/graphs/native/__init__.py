@@ -83,6 +83,8 @@ def _load():
         lib.gc_uniform.argtypes = [c_i64, c_i64, ctypes.c_uint64]
         lib.gc_edge_color.restype = c_i64
         lib.gc_edge_color.argtypes = [c_i64, c_i64, c_i64, c_p, c_p, c_p]
+        lib.gc_compact_i64.restype = c_i64
+        lib.gc_compact_i64.argtypes = [c_i64, c_p, c_p, c_p]
         _lib = lib
         return _lib
 
@@ -173,6 +175,24 @@ def uniform_random(n: int, num_edges: int, seed: int = 0) -> CSRGraph:
     if not h:
         raise ValueError("invalid n/num_edges")
     return _edges_to_csr(lib, h)
+
+
+def compact(keys: np.ndarray, return_unique: bool = False):
+    """Sorted-rank compaction (np.unique return_inverse semantics):
+    returns ranks (E,) int32, and optionally the sorted unique keys."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native core unavailable: {_build_error}")
+    k = np.ascontiguousarray(keys, dtype=np.int64)
+    ranks = np.empty(k.size, dtype=np.int32)
+    uniq = np.empty(k.size, dtype=np.int64) if return_unique else None
+    n_u = lib.gc_compact_i64(
+        k.size, _ptr(k), _ptr(ranks),
+        _ptr(uniq) if uniq is not None else None,
+    )
+    if return_unique:
+        return ranks, uniq[:n_u]
+    return ranks
 
 
 def edge_color(a_ids: np.ndarray, b_ids: np.ndarray) -> np.ndarray:

@@ -394,3 +394,34 @@ extern "C" int64_t gc_edge_color(int64_t n_edges, int64_t n_a, int64_t n_b,
     used = std::max<int64_t>(used, colors_out[e] + 1);
   return used;
 }
+
+// ------------------------------------------------------------ compaction
+//
+// Sorted-rank key compaction: the native replacement for
+// np.unique(keys, return_inverse=True) in the CPG packer (ranks are
+// assigned in sorted-key order, matching np.unique's inverse semantics,
+// which the packer's d-major tile ordering relies on).
+// Returns the number of distinct keys; out_ranks[e] gets the rank of
+// keys[e]; out_uniq (if non-null, sized n) receives the sorted uniques.
+
+extern "C" int64_t gc_compact_i64(int64_t n, const int64_t *keys,
+                                  int32_t *out_ranks, int64_t *out_uniq) {
+  if (n == 0) return 0;
+  std::vector<int64_t> order(static_cast<size_t>(n));
+  for (int64_t i = 0; i < n; ++i) order[static_cast<size_t>(i)] = i;
+  std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+    return keys[a] < keys[b];
+  });
+  int64_t rank = -1;
+  int64_t prev = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t e = order[static_cast<size_t>(i)];
+    if (rank < 0 || keys[e] != prev) {
+      ++rank;
+      prev = keys[e];
+      if (out_uniq) out_uniq[rank] = prev;
+    }
+    out_ranks[e] = static_cast<int32_t>(rank);
+  }
+  return rank + 1;
+}

@@ -125,6 +125,22 @@ class CPGGraph:
         return np.asarray(y).reshape(-1)[self.new_of_old]
 
 
+def _compact(keys: np.ndarray, return_unique: bool = False):
+    """Sorted-rank compaction (np.unique inverse semantics); native sort
+    when available (~6x faster than np.unique at 20M keys)."""
+    try:
+        from tpu_lanczos.graphs import native
+
+        if native.available():
+            return native.compact(keys, return_unique=return_unique)
+    except Exception:
+        pass
+    uniq, inv = np.unique(keys, return_inverse=True)
+    if return_unique:
+        return inv, uniq
+    return inv
+
+
 def _assign_tiers(a_c: np.ndarray, b_c: np.ndarray) -> np.ndarray:
     """Slot/tier assignment: Delta-optimal Konig edge coloring via the
     native core when available (tile count == max endpoint load), else
@@ -169,14 +185,14 @@ def _build_cpg_level(src_pos: np.ndarray, dst_pos: np.ndarray, sub: int):
     a_key = block * (sub * LANE) + ss * LANE + ld      # staging pair
     b_key = block * (sub * LANE) + rd * LANE + ld      # dest cell
     # compact keys to avoid giant ranges in the coloring's sorts
-    _, a_c = np.unique(a_key, return_inverse=True)
-    _, b_c = np.unique(b_key, return_inverse=True)
+    a_c = _compact(a_key)
+    b_c = _compact(b_key)
     tier = _assign_tiers(a_c, b_c)
 
     # tile id per (block, tier), ordered by (d_chunk, s_chunk, tier)
     tier_mult = int(tier.max()) + 1 if tier.size else 1
     tkey = block * tier_mult + tier
-    uniq_t, tile_of = np.unique(tkey, return_inverse=True)
+    tile_of, uniq_t = _compact(tkey, return_unique=True)
     T = uniq_t.size
     d_ids = (uniq_t // tier_mult // (1 << 32)).astype(np.int32)
     s_ids = ((uniq_t // tier_mult) % (1 << 32)).astype(np.int32)

@@ -1,7 +1,7 @@
 """Pallas TPU SpMV kernel over the CPG format (see kernels/cpg.py).
 
 Microbenchmark-driven structure (all numbers measured on v5e via the
-axon tunnel, .scratch/probe*.log):
+axon tunnel; full tables in docs/DESIGN.md):
 
 - anything data-dependent at GRID granularity stalls ~1-1.5us/step
   (scalar-prefetch-indexed BlockSpec windows force conservative flushes);

@@ -41,6 +41,27 @@ def test_sharded_cpg_matches_oracle(name, n_dev):
     assert oracle.rel_error(ans, ref) < 1e-12
 
 
+@pytest.mark.parametrize("n_dev", [3, 5])
+def test_sharded_cpg_nondividing_shard_count(n_dev):
+    """Regression: when n_shards does not divide the packed chunk count,
+    the padded ``starts`` entries must point at the END of the tile list
+    (total tile count), or the last real chunk's tiles land on a shard
+    whose counts are zero and those rows silently become zero."""
+    g = GRAPHS["barabasi"]()
+    sg, st = _run(g, n_dev, k=20)
+    assert sg.n_chunks % n_dev == 0  # padded up from a non-multiple
+    for lv in sg.levels:
+        starts = np.asarray(lv["starts"])
+        counts = np.asarray(lv["counts"])
+        # every shard's local ranges stay inside its own tile slab
+        t_loc = int(lv["s_ids"].shape[1])
+        assert ((starts + counts) <= t_loc).all()
+        assert (starts >= 0).all()
+    ans = sg.permute_out(np.asarray(expmv.multiply_out_host_eig(st)))
+    ref = oracle.expm_action(g, np.ones(g.n), 20)
+    assert oracle.rel_error(ans, ref) < 1e-12
+
+
 def test_sharded_cpg_q_basis_stays_sharded():
     g = GRAPHS["uniform"]()
     sg, st = _run(g, 4, k=10)

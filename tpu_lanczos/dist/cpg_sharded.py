@@ -105,9 +105,15 @@ def pack_cpg_sharded(
         l2 = np.asarray(lv["l2"])
         starts = np.asarray(lv["starts"])
         counts = np.asarray(lv["counts"])
-        counts = np.pad(counts, (0, C - counts.size))
+        # pad value for starts must be the TOTAL tile count (computed from
+        # the un-padded arrays): padded dest chunks own an empty range at
+        # the end of the tile list.  Padding counts first and then reading
+        # counts[-1] (always 0) put padded shard boundaries at the start of
+        # the last real chunk, silently zeroing its rows.
+        total_tiles = int(counts.sum())
         starts = np.pad(starts, (0, C - starts.size),
-                        constant_values=starts[-1] + counts[-1] if counts.size else 0)
+                        constant_values=total_tiles)
+        counts = np.pad(counts, (0, C - counts.size))
         # per-shard tile ranges over the d-major-sorted tile list
         sh_start = starts[::c_loc][:n_shards]
         sh_end = np.append(sh_start[1:], int(counts.sum()))

@@ -61,6 +61,8 @@ def test_checkpoint_resume_bit_identical(tmp_path):
     # resume from it
     from tpu_lanczos.core.lanczos import lanczos_init, lanczos_range
 
+    from tpu_lanczos.core.checkpoint import run_fingerprint
+
     carry, x_norm = lanczos_init(dg, x, k)
     carry = lanczos_range(dg, carry, 0, 14)
     LanczosCheckpoint(
@@ -68,6 +70,7 @@ def test_checkpoint_resume_bit_identical(tmp_path):
         q=np.asarray(carry[0]), q_prev=np.asarray(carry[1]),
         q_basis=np.asarray(carry[2]), alpha=np.asarray(carry[3]),
         beta=np.asarray(carry[4]), x_norm=float(x_norm),
+        fingerprint=run_fingerprint(dg, x.dtype, k, False, "auto"),
     ).save(p)
     resumed = lanczos_checkpointed(dg, x, k, checkpoint_path=p, chunk=7)
 
@@ -76,6 +79,34 @@ def test_checkpoint_resume_bit_identical(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(resumed.q_basis), np.asarray(ref.q_basis)
     )
+
+
+def test_checkpoint_rejects_mismatched_run(tmp_path):
+    """A snapshot from a different graph (same padded size), dtype, or
+    flags must be ignored, not resumed (ADVICE round 1)."""
+    k = 12
+    p = str(tmp_path / "ck.npz")
+    g_a = generators.uniform_random(400, 1200, seed=5)
+    g_b = generators.uniform_random(400, 1200, seed=6)  # same n_pad
+    dg_a, dg_b = pack(g_a), pack(g_b)
+    assert dg_a.n_pad == dg_b.n_pad
+    x = pad_vector(np.ones(g_a.n), dg_a.n_pad, np.float64)
+
+    # leave a completed checkpoint for graph A ...
+    lanczos_checkpointed(dg_a, x, k, checkpoint_path=p, chunk=5)
+    # ... then run graph B against the same path: the stale snapshot must
+    # be rejected and B's result must match a fresh decomposition
+    res_b = lanczos_checkpointed(dg_b, x, k, checkpoint_path=p, chunk=5)
+    ref_b = lanczos(dg_b, x, k)
+    np.testing.assert_array_equal(np.asarray(res_b.alpha), np.asarray(ref_b.alpha))
+
+    # dtype / flag changes also invalidate
+    from tpu_lanczos.core.checkpoint import run_fingerprint
+
+    assert run_fingerprint(dg_b, np.float64, k, False, "auto") != \
+        run_fingerprint(dg_b, np.float32, k, False, "auto")
+    assert run_fingerprint(dg_b, np.float64, k, False, "auto") != \
+        run_fingerprint(dg_b, np.float64, k, True, "auto")
 
 
 def test_checkpointed_pipeline_answer(tmp_path):

@@ -35,6 +35,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fmt", default="best",
                    choices=["best", "auto", "ell", "coo", "hyb", "cpg", "cst"])
     p.add_argument("--seed", type=int, default=0)
+    # CPG pack knobs (kernels/cpg.py pack_cpg; None/auto = heuristic)
+    p.add_argument("--cpg-theta", type=int, default=None, metavar="T",
+                   help="CPG virtual-row split threshold (default: auto)")
+    p.add_argument("--cpg-sub", type=int, default=None, metavar="S",
+                   help="CPG chunk height in sublanes, multiple of 128")
+    p.add_argument("--cpg-order", default="auto",
+                   choices=["auto", "locality", "degree"],
+                   help="CPG vertex ordering")
+    p.add_argument("--ell-pct", type=float, default=98.0,
+                   help="hybrid format: ELL width percentile (rest -> COO)")
     p.add_argument("--shards", type=int, default=0,
                    help="row-shard over this many devices (0 = single device)")
     p.add_argument("--reorthogonalize", action="store_true")
@@ -109,8 +119,18 @@ def main(argv=None) -> int:
     else:
         from tpu_lanczos.core.pipeline import expm_action
 
+        dg = None
+        if args.fmt == "cpg" and (
+            args.cpg_theta is not None or args.cpg_sub is not None
+            or args.cpg_order != "auto"
+        ):
+            from tpu_lanczos.kernels.cpg import pack_cpg
+
+            dg = pack_cpg(g, theta=args.cpg_theta, sub=args.cpg_sub,
+                          order=args.cpg_order)
         res = expm_action(
-            g, k=k, dtype=args.dtype, fmt=args.fmt,
+            g, k=k, dtype=args.dtype, fmt=args.fmt, dg=dg,
+            ell_pct=args.ell_pct,
             reorthogonalize=args.reorthogonalize, log_scale=args.log_scale,
         )
         ans, shift = res.ans, res.log_scale
@@ -130,13 +150,20 @@ def main(argv=None) -> int:
         a = ans if shift is None else ans * np.exp(shift)
         if np.all(np.isfinite(a)) and np.all(np.isfinite(ans_serial)):
             print(f"device vs serial: {check_ans(a, ans_serial)}")
-        else:
+        elif np.all(np.isfinite(ans)) and np.all(np.isfinite(ans_serial)):
             # overflow regime: compare direction only (the reference printed
-            # inf/nan here — final_output1.txt:154-159; we do better)
+            # inf/nan here — final_output1.txt:154-159; we do better).  The
+            # unscaled device vector is finite by construction under
+            # --log-scale; use it, not the overflowed rescaled one.
             an = ans / np.linalg.norm(ans)
             bs = ans_serial / np.linalg.norm(ans_serial)
             print(f"device vs serial (normalized; e^lambda overflow): "
                   f"rel diff {np.linalg.norm(an - bs):.3e}")
+        else:
+            # the serial oracle itself overflowed: a normalized diff against
+            # nan/inf would be meaningless — say so and skip the comparison
+            print("device vs serial: serial oracle overflowed (non-finite); "
+                  "no comparison possible — rerun the oracle log-scaled")
 
     if args.verbose:
         a = ans if shift is None else ans

@@ -55,6 +55,10 @@ class Config:
             dtype=args.dtype,
             log_scale_output=args.log_scale,
             fmt=args.fmt,
+            cpg_theta=getattr(args, "cpg_theta", None),
+            cpg_sub=getattr(args, "cpg_sub", None),
+            cpg_order=getattr(args, "cpg_order", "auto"),
+            ell_pct=getattr(args, "ell_pct", 98.0),
             shards=args.shards,
             filename=args.file,
             n=args.n,

@@ -25,6 +25,41 @@ from tpu_lanczos.core.lanczos import (
 )
 
 
+def _structure_probe(dg) -> int:
+    """Hash of one SpMV of a fixed pseudo-random vector: captures the
+    packed adjacency structure (same-shaped packs of different graphs
+    collide with negligible probability) at O(1) host transfer.  A false
+    mismatch only forces a safe restart, never a wrong resume."""
+    import zlib
+
+    from tpu_lanczos.kernels.spmv import spmv
+
+    r = ((np.arange(dg.n_pad, dtype=np.int64) * 2654435761) % 1000003
+         ).astype(np.float32) / 1000003.0
+    y = np.asarray(spmv(dg, jnp.asarray(r)))
+    return zlib.crc32(np.ascontiguousarray(y[:65536]).tobytes())
+
+
+def run_fingerprint(dg, dtype, k: int, reorthogonalize: bool, spmv_impl: str) -> str:
+    """Identity of a decomposition run: the graph (n, nnz, pack permutation
+    hash, structural SpMV probe), the dtype, and every setting that changes
+    the recurrence.  A checkpoint written under a different fingerprint must
+    not be resumed — same-shaped snapshots of a different graph/dtype/flags
+    would silently produce a wrong decomposition."""
+    import zlib
+
+    noo = getattr(dg, "new_of_old", None)
+    perm_crc = (
+        zlib.crc32(np.ascontiguousarray(noo).tobytes()) if noo is not None else 0
+    )
+    return (
+        f"{type(dg).__name__}:n={dg.n}:nnz={dg.nnz}:n_pad={dg.n_pad}:"
+        f"perm={perm_crc:08x}:probe={_structure_probe(dg):08x}:"
+        f"dtype={np.dtype(dtype).name}:k={k}:"
+        f"reorth={bool(reorthogonalize)}:spmv={spmv_impl}"
+    )
+
+
 @dataclasses.dataclass
 class LanczosCheckpoint:
     """Host-side snapshot of the loop carry after ``j_done`` iterations."""
@@ -37,6 +72,7 @@ class LanczosCheckpoint:
     alpha: np.ndarray
     beta: np.ndarray
     x_norm: float
+    fingerprint: str = ""
 
     def save(self, path: str) -> None:
         tmp_fd, tmp = tempfile.mkstemp(
@@ -47,7 +83,7 @@ class LanczosCheckpoint:
             tmp,
             j_done=self.j_done, k=self.k, q=self.q, q_prev=self.q_prev,
             q_basis=self.q_basis, alpha=self.alpha, beta=self.beta,
-            x_norm=self.x_norm,
+            x_norm=self.x_norm, fingerprint=self.fingerprint,
         )
         os.replace(tmp + ".npz", path)  # atomic: no torn checkpoints
         os.unlink(tmp) if os.path.exists(tmp) else None
@@ -59,6 +95,7 @@ class LanczosCheckpoint:
             j_done=int(z["j_done"]), k=int(z["k"]), q=z["q"],
             q_prev=z["q_prev"], q_basis=z["q_basis"], alpha=z["alpha"],
             beta=z["beta"], x_norm=float(z["x_norm"]),
+            fingerprint=str(z["fingerprint"]) if "fingerprint" in z else "",
         )
 
     def carry(self):
@@ -85,10 +122,11 @@ def lanczos_checkpointed(
     the result is bit-identical to an uninterrupted run because the carry
     captures the exact device state between chunks.
     """
+    fp = run_fingerprint(dg, x.dtype, k, reorthogonalize, spmv_impl)
     ckpt = None
     if os.path.exists(checkpoint_path):
         cand = LanczosCheckpoint.load(checkpoint_path)
-        if cand.k == k and cand.q.shape[0] == dg.n_pad:
+        if cand.fingerprint == fp and cand.k == k and cand.q.shape[0] == dg.n_pad:
             ckpt = cand
 
     if ckpt is None:
@@ -111,7 +149,7 @@ def lanczos_checkpointed(
             j_done=j, k=k,
             q=np.asarray(carry[0]), q_prev=np.asarray(carry[1]),
             q_basis=np.asarray(carry[2]), alpha=np.asarray(carry[3]),
-            beta=np.asarray(carry[4]), x_norm=x_norm,
+            beta=np.asarray(carry[4]), x_norm=x_norm, fingerprint=fp,
         ).save(checkpoint_path)
 
     _, _, q_basis, alpha, beta = carry

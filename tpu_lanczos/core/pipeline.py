@@ -97,7 +97,8 @@ def run_config(cfg, graph: CSRGraph | None = None, x: np.ndarray | None = None):
 
         dg = pack_cpg(graph, theta=cfg.cpg_theta, sub=cfg.cpg_sub,
                       order=cfg.cpg_order)
-    return expm_action(graph, x, fmt=cfg.fmt, dg=dg, **common)
+    return expm_action(graph, x, fmt=cfg.fmt, dg=dg, ell_pct=cfg.ell_pct,
+                       **common)
 
 
 def best_device_pack(graph: CSRGraph):
@@ -134,6 +135,7 @@ def expm_action(
     log_scale: bool = False,
     eig_impl: str = "host",
     dg: DeviceGraph | None = None,
+    ell_pct: float = 98.0,
 ) -> LanczosResult:
     """Host-facing driver. ``x`` defaults to all-ones (the centrality
     start vector, serial/main.cc:79). k clamps to n-1 (serial/main.cc:64)."""
@@ -150,7 +152,7 @@ def expm_action(
         elif fmt == "best":
             dg = best_device_pack(graph)
         else:
-            dg = pack(graph, fmt=fmt)
+            dg = pack(graph, fmt=fmt, ell_pct=ell_pct)
     dtype = jnp.dtype(dtype)
     x_host = np.ones(graph.n) if x is None else np.asarray(x)
     x_dev = jnp.asarray(dg.permute_in(x_host, dtype))

@@ -18,6 +18,9 @@ the accurate path:
 
 from __future__ import annotations
 
+import warnings
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,6 +39,15 @@ def dense_tridiagonal(alpha: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
 def eigh_device(alpha: jnp.ndarray, beta: jnp.ndarray):
     """On-device eigendecomposition (jittable).
     Returns (evals (k,) ascending, evecs (k,k) with columns evecs[:, i])."""
+    if (jnp.asarray(alpha).dtype == jnp.float64
+            and jax.default_backend() not in ("cpu", "gpu")):
+        # fires at trace time (once per compilation), not per call
+        warnings.warn(
+            "eigh_device on TPU has a ~1e-6 reconstruction-error floor and "
+            "will not deliver float64-grade eigenvectors; use eigh_host "
+            "(eig_impl='host') for f64 parity runs",
+            stacklevel=2,
+        )
     return jnp.linalg.eigh(dense_tridiagonal(alpha, beta))
 
 

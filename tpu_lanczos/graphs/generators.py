@@ -57,7 +57,7 @@ def uniform_random(
     return CSRGraph.from_edges(n, edges)
 
 
-def barabasi_albert(n: int, m: int, seed: int = 0, use_native: bool = True) -> CSRGraph:
+def barabasi_albert(n: int, m: int, seed: int = 0, use_native: bool = False) -> CSRGraph:
     """Barabasi-Albert preferential attachment.
 
     Seed: complete graph on m+1 nodes (as in serial/lib/make_graph.cc —
@@ -65,6 +65,12 @@ def barabasi_albert(n: int, m: int, seed: int = 0, use_native: bool = True) -> C
     ``m`` edges to distinct existing nodes, sampled degree-proportionally
     via the repeated-endpoints trick (every stored edge endpoint appears
     once in the pool, so a uniform draw from the pool is degree-weighted).
+
+    ``use_native`` opts into the much faster C++ generator, whose RNG
+    stream differs from numpy's: same (n, m, seed) then yields a different
+    (structurally equivalent) graph.  Default False so results are
+    reproducible regardless of whether a toolchain is present; callers
+    that cache by an explicit key (bench) opt in.
     """
     if m < 1 or n < m + 1:
         raise ValueError("need n >= m+1 and m >= 1")

@@ -1,7 +1,7 @@
 """SpMV for the value-free adjacency matrix: y = A @ x.
 
 XLA ("jnp") paths for every device format, plus dispatch to the Pallas
-row-tiled kernel (:mod:`tpu_lanczos.kernels.spmv_pallas`) where profitable.
+CPG kernel (:mod:`tpu_lanczos.kernels.spmv_cpg`) where profitable.
 These are the TPU equivalents of the reference's four CUDA SpMV kernels
 (parallel-final/lib/cu_SPMV.cu:30-206): instead of choosing a thread/block
 mapping per launch, we choose a static layout per graph and let XLA fuse
@@ -45,10 +45,9 @@ def spmv(dg, x: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
     """y = A @ x with A in a packed device format.
 
     ``x`` must be (n_pad,) with zero padding beyond ``dg.n``; the result has
-    the same shape/padding invariant.  A ``TileGraph`` dispatches to the
-    Pallas lane-classed tile kernel; DeviceGraph formats use the XLA paths.
+    the same shape/padding invariant.  Pallas formats (CPG, CST) dispatch to
+    their kernels; DeviceGraph formats use the XLA paths.
     """
-    from tpu_lanczos.kernels.tiles import TileGraph
     from tpu_lanczos.kernels.cst import CSTGraph
     from tpu_lanczos.kernels.cpg import CPGGraph
 
@@ -64,10 +63,6 @@ def spmv(dg, x: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
         from tpu_lanczos.kernels import spmv_pallas2
 
         return spmv_pallas2.spmv_cst(dg, x, interpret=_interp())
-    if isinstance(dg, TileGraph):
-        from tpu_lanczos.kernels import spmv_pallas
-
-        return spmv_pallas.spmv_tiles(dg, x, interpret=_interp())
     # XLA paths
     if dg.fmt == "ell":
         return _ell_spmv(dg, x)

@@ -85,6 +85,9 @@ def _load():
         lib.gc_edge_color.argtypes = [c_i64, c_i64, c_i64, c_p, c_p, c_p]
         lib.gc_compact_i64.restype = c_i64
         lib.gc_compact_i64.argtypes = [c_i64, c_p, c_p, c_p]
+        lib.gc_gpg_place.restype = c_i64
+        lib.gc_gpg_place.argtypes = [c_i64, c_i64, c_i64, c_i64,
+                                     c_p, c_p, c_p, c_p, c_p]
         _lib = lib
         return _lib
 
@@ -193,6 +196,34 @@ def compact(keys: np.ndarray, return_unique: bool = False):
     if return_unique:
         return ranks, uniq[:n_u]
     return ranks
+
+
+def gpg_place(
+    slot_of_entry: np.ndarray,
+    dest_cell: np.ndarray,
+    slot_d: np.ndarray,
+    n_slots_per_tile: int,
+    sub_d: int,
+):
+    """Bin-pack GPG slots into tiles (first-fit with per-tile dest-cell
+    bitmaps; see gc_gpg_place).  Returns (tile_of_slot, slot_pos, n_tiles);
+    tiles are numbered d-major in placement order."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native core unavailable: {_build_error}")
+    soe = np.ascontiguousarray(slot_of_entry, dtype=np.int32)
+    dc = np.ascontiguousarray(dest_cell, dtype=np.int32)
+    sd = np.ascontiguousarray(slot_d, dtype=np.int32)
+    S = sd.size
+    tile_of_slot = np.empty(S, dtype=np.int32)
+    slot_pos = np.empty(S, dtype=np.int32)
+    t = lib.gc_gpg_place(
+        soe.size, S, n_slots_per_tile, sub_d,
+        _ptr(soe), _ptr(dc), _ptr(sd), _ptr(tile_of_slot), _ptr(slot_pos),
+    )
+    if t < 0:
+        raise RuntimeError("gc_gpg_place failed")
+    return tile_of_slot, slot_pos, int(t)
 
 
 def edge_color(a_ids: np.ndarray, b_ids: np.ndarray) -> np.ndarray:

@@ -395,6 +395,92 @@ extern "C" int64_t gc_edge_color(int64_t n_edges, int64_t n_a, int64_t n_b,
   return used;
 }
 
+// ----------------------------------------------------- GPG slot placement
+//
+// Bin-pack GPG slots into tiles (tpu_lanczos/kernels/gpg.py).  A slot is a
+// (dest-chunk D, source granule, Konig color) group of entries; a tile
+// holds up to n_slots slots of the SAME dest chunk, subject to: no two
+// entries in a tile may share a dest cell (the second gather delivers one
+// staged value per dest cell).  Greedy first-fit with per-tile dest-cell
+// bitmaps; slots must arrive sorted by D (compact rank order guarantees
+// this).  Returns the total tile count T; tiles are numbered d-major in
+// placement order.
+//
+//   slot_of_entry (E,) int32 — slot rank per entry (sorted-by-(D,g,color))
+//   dest_cell     (E,) int32 — rd * 128 + ld per entry, < sub_d * 128
+//   slot_d        (S,) int32 — dest chunk per slot (ascending)
+//   out tile_of_slot (S,) int32, slot_pos (S,) int32 (position in tile)
+
+extern "C" int64_t gc_gpg_place(int64_t n_entries, int64_t n_slot,
+                                int64_t n_slots_per_tile, int64_t sub_d,
+                                const int32_t *slot_of_entry,
+                                const int32_t *dest_cell,
+                                const int32_t *slot_d,
+                                int32_t *tile_of_slot, int32_t *slot_pos) {
+  if (n_slot == 0) return 0;
+  // counting-sort entries by slot -> CSR of entry ids per slot
+  std::vector<int64_t> sptr(static_cast<size_t>(n_slot) + 1, 0);
+  for (int64_t e = 0; e < n_entries; ++e) sptr[slot_of_entry[e] + 1]++;
+  for (int64_t s = 0; s < n_slot; ++s) sptr[s + 1] += sptr[s];
+  std::vector<int32_t> ecell(static_cast<size_t>(n_entries));
+  {
+    std::vector<int64_t> cur(sptr.begin(), sptr.end() - 1);
+    for (int64_t e = 0; e < n_entries; ++e)
+      ecell[static_cast<size_t>(cur[slot_of_entry[e]]++)] = dest_cell[e];
+  }
+
+  const int64_t words = (sub_d * 128 + 63) / 64;
+  // per-D tile arena, reused across dest chunks
+  std::vector<std::vector<uint64_t>> bitmaps;  // tile -> dest-cell bitmap
+  std::vector<int32_t> used_slots;             // tile -> #slots occupied
+  int64_t t_base = 0;   // global id of this D's first tile
+  size_t first_open = 0;  // tiles before this index are slot-full
+  int64_t cur_d = slot_d[0];
+
+  auto flush_d = [&] {
+    t_base += static_cast<int64_t>(bitmaps.size());
+    bitmaps.clear();
+    used_slots.clear();
+    first_open = 0;
+  };
+
+  for (int64_t s = 0; s < n_slot; ++s) {
+    if (slot_d[s] != cur_d) {
+      flush_d();
+      cur_d = slot_d[s];
+    }
+    const int64_t e0 = sptr[s], e1 = sptr[s + 1];
+    while (first_open < bitmaps.size() &&
+           used_slots[first_open] >= n_slots_per_tile)
+      ++first_open;
+    int64_t placed = -1;
+    for (size_t t = first_open; t < bitmaps.size(); ++t) {
+      if (used_slots[t] >= n_slots_per_tile) continue;
+      const uint64_t *bm = bitmaps[t].data();
+      bool ok = true;
+      for (int64_t e = e0; e < e1; ++e) {
+        const int32_t c = ecell[static_cast<size_t>(e)];
+        if (bm[c >> 6] & (1ull << (c & 63))) { ok = false; break; }
+      }
+      if (ok) { placed = static_cast<int64_t>(t); break; }
+    }
+    if (placed < 0) {
+      bitmaps.emplace_back(static_cast<size_t>(words), 0);
+      used_slots.push_back(0);
+      placed = static_cast<int64_t>(bitmaps.size()) - 1;
+    }
+    uint64_t *bm = bitmaps[static_cast<size_t>(placed)].data();
+    for (int64_t e = e0; e < e1; ++e) {
+      const int32_t c = ecell[static_cast<size_t>(e)];
+      bm[c >> 6] |= 1ull << (c & 63);
+    }
+    tile_of_slot[s] = static_cast<int32_t>(t_base + placed);
+    slot_pos[s] = used_slots[static_cast<size_t>(placed)]++;
+  }
+  flush_d();
+  return t_base;
+}
+
 // ------------------------------------------------------------ compaction
 //
 // Sorted-rank key compaction: the native replacement for

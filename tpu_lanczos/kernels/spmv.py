@@ -50,11 +50,16 @@ def spmv(dg, x: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
     """
     from tpu_lanczos.kernels.cst import CSTGraph
     from tpu_lanczos.kernels.cpg import CPGGraph
+    from tpu_lanczos.kernels.gpg import GPGGraph
 
     def _interp():
         # Pallas kernels compile only for TPU; interpret elsewhere
         return impl == "interpret" or jax.default_backend() in ("cpu", "gpu")
 
+    if isinstance(dg, GPGGraph):
+        from tpu_lanczos.kernels import spmv_gpg
+
+        return spmv_gpg.spmv_gpg(dg, x, interpret=_interp())
     if isinstance(dg, CPGGraph):
         from tpu_lanczos.kernels import spmv_cpg
 

@@ -131,3 +131,25 @@ def test_k_clamped_to_n_minus_1():
     g = generators.uniform_random(20, 40, seed=0)
     res = expm_action(g, k=50, dtype="float64")
     assert res.k == 19
+
+
+def test_lowmem_two_pass_matches_stored_q():
+    """The Q-free two-pass pipeline must reproduce the stored-Q result
+    exactly (identical recurrence -> bit-identical basis vectors)."""
+    import numpy as np
+
+    from tpu_lanczos.graphs import generators
+    from tpu_lanczos.core.pipeline import expm_action
+
+    g = generators.uniform_random(1500, 6000, seed=4)
+    ref = expm_action(g, k=30, dtype="float64")
+    low = expm_action(g, k=30, dtype="float64", low_mem=True)
+    np.testing.assert_array_equal(low.alpha, ref.alpha)
+    np.testing.assert_array_equal(low.beta, ref.beta)
+    np.testing.assert_allclose(low.ans, ref.ans, rtol=1e-12, atol=1e-12)
+
+    # log-scale variant agrees too
+    low_ls = expm_action(g, k=30, dtype="float64", low_mem=True, log_scale=True)
+    np.testing.assert_allclose(
+        low_ls.full_ans(), ref.ans, rtol=1e-9, atol=1e-9
+    )

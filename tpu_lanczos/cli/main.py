@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(avoids f32 overflow)")
     p.add_argument("--no-serial", action="store_true",
                    help="skip the numpy oracle pass (large graphs)")
+    p.add_argument("--low-mem", action="store_true",
+                   help="two-pass Q-free Lanczos: O(n) device memory "
+                        "instead of O(k*n) (large single-chip graphs)")
     p.add_argument("--write-ans", metavar="PATH",
                    help="write the answer vector (20 digits) to PATH")
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
@@ -130,7 +133,7 @@ def main(argv=None) -> int:
                           order=args.cpg_order)
         res = expm_action(
             g, k=k, dtype=args.dtype, fmt=args.fmt, dg=dg,
-            ell_pct=args.ell_pct,
+            ell_pct=args.ell_pct, low_mem=args.low_mem,
             reorthogonalize=args.reorthogonalize, log_scale=args.log_scale,
         )
         ans, shift = res.ans, res.log_scale

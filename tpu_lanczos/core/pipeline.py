@@ -136,10 +136,20 @@ def expm_action(
     eig_impl: str = "host",
     dg: DeviceGraph | None = None,
     ell_pct: float = 98.0,
+    low_mem: bool = False,
 ) -> LanczosResult:
     """Host-facing driver. ``x`` defaults to all-ones (the centrality
-    start vector, serial/main.cc:79). k clamps to n-1 (serial/main.cc:64)."""
+    start vector, serial/main.cc:79). k clamps to n-1 (serial/main.cc:64).
+
+    ``low_mem=True`` selects the two-pass Q-free mode (the TPU analog of
+    the reference's streaming-Q design, writeup §9.2): Lanczos runs
+    twice — once for alpha/beta, once regenerating q_j while folding in
+    the multiply-out — so peak device memory is O(n) instead of O(k·n).
+    Incompatible with ``reorthogonalize`` (which needs the stored basis).
+    """
     k = int(min(k, graph.n - 1))
+    if low_mem and reorthogonalize:
+        raise ValueError("low_mem is incompatible with reorthogonalize")
     if dg is None:
         if fmt == "cst":
             from tpu_lanczos.kernels.cst import pack_cst
@@ -156,6 +166,33 @@ def expm_action(
     dtype = jnp.dtype(dtype)
     x_host = np.ones(graph.n) if x is None else np.asarray(x)
     x_dev = jnp.asarray(dg.permute_in(x_host, dtype))
+
+    if low_mem:
+        from tpu_lanczos.core import tridiag
+        from tpu_lanczos.core.lanczos import (
+            lanczos_alphabeta, lanczos_recombine,
+        )
+
+        alpha, beta, x_norm = lanczos_alphabeta(
+            dg, x_dev, k, spmv_impl=spmv_impl
+        )
+        alpha_h = np.asarray(alpha)
+        beta_h = np.asarray(beta)[: k - 1]
+        evals, evecs = tridiag.eigh_host(alpha_h, beta_h)
+        tmp, shift = expmv.coefficients(evals, evecs, float(x_norm), xp=np)
+        ans_scaled = lanczos_recombine(
+            dg, x_dev, jnp.asarray(tmp.astype(dtype)), k, spmv_impl=spmv_impl
+        )
+        if not log_scale:
+            ans_scaled = ans_scaled * np.exp(shift).astype(dtype)
+        return LanczosResult(
+            ans=dg.permute_out(np.asarray(ans_scaled)),
+            log_scale=float(shift) if log_scale else None,
+            alpha=alpha_h,
+            beta=beta_h,
+            x_norm=float(x_norm),
+            k=k,
+        )
 
     if eig_impl == "host":
         state = lanczos(

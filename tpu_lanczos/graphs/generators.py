@@ -112,6 +112,44 @@ def barabasi_albert(n: int, m: int, seed: int = 0, use_native: bool = False) -> 
     return CSRGraph.from_edges(n, edges)
 
 
+def rmat(
+    n: int,
+    num_edges: int,
+    seed: int = 0,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+) -> CSRGraph:
+    """R-MAT / Kronecker graph (Graph500 parameters by default).
+
+    Recursive quadrant sampling produces the degree skew AND the
+    hierarchical community structure of real social/web graphs — the
+    right analog for the reference's com-LiveJournal benchmark graph
+    (BASELINE.md; a pure Barabasi-Albert expander is strictly harder
+    than the real graph, which has strong clustering).  ``n`` is rounded
+    up to a power of two internally; vertices beyond ``n`` are remapped
+    by modulo.  Self-loops and duplicates are dropped by CSR
+    construction, so the final nnz is somewhat below 2 * num_edges.
+    """
+    if n < 2 or num_edges < 1:
+        raise ValueError("need n >= 2 and num_edges >= 1")
+    levels = int(np.ceil(np.log2(n)))
+    rng = np.random.default_rng(seed)
+    src = np.zeros(num_edges, dtype=np.int64)
+    dst = np.zeros(num_edges, dtype=np.int64)
+    for _ in range(levels):
+        r = rng.random(num_edges)
+        # quadrants by threshold: [0,a) -> (0,0), [a,a+b) -> (0,1),
+        # [a+b,a+b+c) -> (1,0), [a+b+c,1) -> (1,1)
+        down = r >= a + b
+        right = ((r >= a) & (r < a + b)) | (r >= a + b + c)
+        src = src * 2 + down.astype(np.int64)
+        dst = dst * 2 + right.astype(np.int64)
+    src %= n
+    dst %= n
+    return CSRGraph.from_edges(n, np.stack([src, dst], axis=1))
+
+
 def stencil_2d(side: int) -> CSRGraph:
     """5-point 2D grid graph (the reference declared a stencil generator but
     left it a stub — serial/lib/make_graph.cc 'stencil stub (allocates

@@ -85,8 +85,8 @@ def _load():
         lib.gc_edge_color.argtypes = [c_i64, c_i64, c_i64, c_p, c_p, c_p]
         lib.gc_compact_i64.restype = c_i64
         lib.gc_compact_i64.argtypes = [c_i64, c_p, c_p, c_p]
-        lib.gc_gpg_place.restype = c_i64
-        lib.gc_gpg_place.argtypes = [c_i64, c_i64, c_i64, c_i64,
+        lib.gc_gpg_color.restype = c_i64
+        lib.gc_gpg_color.argtypes = [c_i64, c_i64, c_i64,
                                      c_p, c_p, c_p, c_p, c_p]
         _lib = lib
         return _lib
@@ -198,32 +198,34 @@ def compact(keys: np.ndarray, return_unique: bool = False):
     return ranks
 
 
-def gpg_place(
-    slot_of_entry: np.ndarray,
-    dest_cell: np.ndarray,
-    slot_d: np.ndarray,
-    n_slots_per_tile: int,
-    sub_d: int,
+def gpg_color(
+    group: np.ndarray,
+    d_of: np.ndarray,
+    a_cell: np.ndarray,
+    b_cell: np.ndarray,
+    n_a_cells: int,
+    n_b_cells: int,
 ):
-    """Bin-pack GPG slots into tiles (first-fit with per-tile dest-cell
-    bitmaps; see gc_gpg_place).  Returns (tile_of_slot, slot_pos, n_tiles);
-    tiles are numbered d-major in placement order."""
+    """Color-concentrating greedy edge coloring for the GPG packer (see
+    gc_gpg_color): entries must arrive grouped by (D, granule) with
+    D-major group order; each entry gets the smallest color free on both
+    its staging cell (per group) and dest cell (per D).  Returns (E,)
+    int32 colors."""
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native core unavailable: {_build_error}")
-    soe = np.ascontiguousarray(slot_of_entry, dtype=np.int32)
-    dc = np.ascontiguousarray(dest_cell, dtype=np.int32)
-    sd = np.ascontiguousarray(slot_d, dtype=np.int32)
-    S = sd.size
-    tile_of_slot = np.empty(S, dtype=np.int32)
-    slot_pos = np.empty(S, dtype=np.int32)
-    t = lib.gc_gpg_place(
-        soe.size, S, n_slots_per_tile, sub_d,
-        _ptr(soe), _ptr(dc), _ptr(sd), _ptr(tile_of_slot), _ptr(slot_pos),
+    grp = np.ascontiguousarray(group, dtype=np.int32)
+    d = np.ascontiguousarray(d_of, dtype=np.int32)
+    a = np.ascontiguousarray(a_cell, dtype=np.int32)
+    b = np.ascontiguousarray(b_cell, dtype=np.int32)
+    colors = np.empty(grp.size, dtype=np.int32)
+    used = lib.gc_gpg_color(
+        grp.size, n_a_cells, n_b_cells,
+        _ptr(grp), _ptr(d), _ptr(a), _ptr(b), _ptr(colors),
     )
-    if t < 0:
-        raise RuntimeError("gc_gpg_place failed")
-    return tile_of_slot, slot_pos, int(t)
+    if used < 0:
+        raise RuntimeError("gc_gpg_color failed (color cap exceeded)")
+    return colors
 
 
 def edge_color(a_ids: np.ndarray, b_ids: np.ndarray) -> np.ndarray:

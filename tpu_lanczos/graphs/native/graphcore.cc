@@ -395,90 +395,88 @@ extern "C" int64_t gc_edge_color(int64_t n_edges, int64_t n_a, int64_t n_b,
   return used;
 }
 
-// ----------------------------------------------------- GPG slot placement
+// ------------------------------------------------------ GPG edge coloring
 //
-// Bin-pack GPG slots into tiles (tpu_lanczos/kernels/gpg.py).  A slot is a
-// (dest-chunk D, source granule, Konig color) group of entries; a tile
-// holds up to n_slots slots of the SAME dest chunk, subject to: no two
-// entries in a tile may share a dest cell (the second gather delivers one
-// staged value per dest cell).  Greedy first-fit with per-tile dest-cell
-// bitmaps; slots must arrive sorted by D (compact rank order guarantees
-// this).  Returns the total tile count T; tiles are numbered d-major in
-// placement order.
+// Color-concentrating greedy edge coloring for the GPG packer
+// (tpu_lanczos/kernels/gpg.py).  Entries arrive grouped by (dest chunk D,
+// source granule g) — the "group" rank — with D-major group order.  Each
+// entry gets the smallest color free on BOTH its staging cell (a-side,
+// per-group: (ur, ld)) and its dest cell (b-side, per-D: (rd, ld)).
 //
-//   slot_of_entry (E,) int32 — slot rank per entry (sorted-by-(D,g,color))
-//   dest_cell     (E,) int32 — rd * 128 + ld per entry, < sub_d * 128
-//   slot_d        (S,) int32 — dest chunk per slot (ascending)
-//   out tile_of_slot (S,) int32, slot_pos (S,) int32 (position in tile)
+// Tiles are then formed from slots (= (group, color) classes) of the SAME
+// color, so any two entries in a tile have distinct dest cells by b-side
+// properness — no bin-packing or conflict probing needed.  First-fit
+// greedy (not Konig) is deliberate: it concentrates each group's entries
+// in a color prefix ~ its own local degree, which is what keeps slots per
+// group (and thus tile count) near the per-group optimum.
+//
+//   group (E,) int32  — compact (D, g) rank, D-major ascending
+//   d_of  (E,) int32  — dest chunk of each entry
+//   a_cell (E,) int32 — staging cell within group: ur * 128 + ld
+//   b_cell (E,) int32 — dest cell within chunk: rd * 128 + ld
+// Returns max color + 1 (<= cap 4096), or -1 on error.
 
-extern "C" int64_t gc_gpg_place(int64_t n_entries, int64_t n_slot,
-                                int64_t n_slots_per_tile, int64_t sub_d,
-                                const int32_t *slot_of_entry,
-                                const int32_t *dest_cell,
-                                const int32_t *slot_d,
-                                int32_t *tile_of_slot, int32_t *slot_pos) {
-  if (n_slot == 0) return 0;
-  // counting-sort entries by slot -> CSR of entry ids per slot
-  std::vector<int64_t> sptr(static_cast<size_t>(n_slot) + 1, 0);
-  for (int64_t e = 0; e < n_entries; ++e) sptr[slot_of_entry[e] + 1]++;
-  for (int64_t s = 0; s < n_slot; ++s) sptr[s + 1] += sptr[s];
-  std::vector<int32_t> ecell(static_cast<size_t>(n_entries));
-  {
-    std::vector<int64_t> cur(sptr.begin(), sptr.end() - 1);
-    for (int64_t e = 0; e < n_entries; ++e)
-      ecell[static_cast<size_t>(cur[slot_of_entry[e]]++)] = dest_cell[e];
-  }
+extern "C" int64_t gc_gpg_color(int64_t n_entries, int64_t n_a_cells,
+                                int64_t n_b_cells, const int32_t *group,
+                                const int32_t *d_of, const int32_t *a_cell,
+                                const int32_t *b_cell, int32_t *colors_out) {
+  if (n_entries == 0) return 0;
+  constexpr int64_t kMaxColors = 4096;
+  const int64_t words = kMaxColors / 64;
+  std::vector<uint64_t> a_used(static_cast<size_t>(n_a_cells) * words, 0);
+  std::vector<uint64_t> b_used(static_cast<size_t>(n_b_cells) * words, 0);
+  std::vector<uint8_t> a_touched(static_cast<size_t>(n_a_cells), 0);
+  std::vector<uint8_t> b_touched(static_cast<size_t>(n_b_cells), 0);
+  std::vector<int32_t> a_dirty, b_dirty;
+  a_dirty.reserve(4096);
+  b_dirty.reserve(65536);
 
-  const int64_t words = (sub_d * 128 + 63) / 64;
-  // per-D tile arena, reused across dest chunks
-  std::vector<std::vector<uint64_t>> bitmaps;  // tile -> dest-cell bitmap
-  std::vector<int32_t> used_slots;             // tile -> #slots occupied
-  int64_t t_base = 0;   // global id of this D's first tile
-  size_t first_open = 0;  // tiles before this index are slot-full
-  int64_t cur_d = slot_d[0];
-
-  auto flush_d = [&] {
-    t_base += static_cast<int64_t>(bitmaps.size());
-    bitmaps.clear();
-    used_slots.clear();
-    first_open = 0;
+  auto clear_dirty = [&](std::vector<uint64_t> &used,
+                         std::vector<uint8_t> &touched,
+                         std::vector<int32_t> &dirty) {
+    for (const int32_t c : dirty) {
+      std::memset(&used[static_cast<size_t>(c) * words], 0,
+                  static_cast<size_t>(words) * 8);
+      touched[static_cast<size_t>(c)] = 0;
+    }
+    dirty.clear();
   };
 
-  for (int64_t s = 0; s < n_slot; ++s) {
-    if (slot_d[s] != cur_d) {
-      flush_d();
-      cur_d = slot_d[s];
+  int64_t max_color = -1;
+  int32_t cur_group = group[0];
+  int32_t cur_d = d_of[0];
+  for (int64_t e = 0; e < n_entries; ++e) {
+    if (group[e] != cur_group) {
+      clear_dirty(a_used, a_touched, a_dirty);
+      cur_group = group[e];
     }
-    const int64_t e0 = sptr[s], e1 = sptr[s + 1];
-    while (first_open < bitmaps.size() &&
-           used_slots[first_open] >= n_slots_per_tile)
-      ++first_open;
-    int64_t placed = -1;
-    for (size_t t = first_open; t < bitmaps.size(); ++t) {
-      if (used_slots[t] >= n_slots_per_tile) continue;
-      const uint64_t *bm = bitmaps[t].data();
-      bool ok = true;
-      for (int64_t e = e0; e < e1; ++e) {
-        const int32_t c = ecell[static_cast<size_t>(e)];
-        if (bm[c >> 6] & (1ull << (c & 63))) { ok = false; break; }
-      }
-      if (ok) { placed = static_cast<int64_t>(t); break; }
+    if (d_of[e] != cur_d) {
+      clear_dirty(b_used, b_touched, b_dirty);
+      cur_d = d_of[e];
     }
-    if (placed < 0) {
-      bitmaps.emplace_back(static_cast<size_t>(words), 0);
-      used_slots.push_back(0);
-      placed = static_cast<int64_t>(bitmaps.size()) - 1;
+    const int32_t a = a_cell[e], b = b_cell[e];
+    uint64_t *ma = &a_used[static_cast<size_t>(a) * words];
+    uint64_t *mb = &b_used[static_cast<size_t>(b) * words];
+    int64_t c = -1;
+    for (int64_t w = 0; w < words; ++w) {
+      const uint64_t f = ~(ma[w] | mb[w]);
+      if (f) { c = w * 64 + __builtin_ctzll(f); break; }
     }
-    uint64_t *bm = bitmaps[static_cast<size_t>(placed)].data();
-    for (int64_t e = e0; e < e1; ++e) {
-      const int32_t c = ecell[static_cast<size_t>(e)];
-      bm[c >> 6] |= 1ull << (c & 63);
+    if (c < 0) return -1;  // > kMaxColors on one cell: theta far too large
+    if (!a_touched[static_cast<size_t>(a)]) {
+      a_touched[static_cast<size_t>(a)] = 1;
+      a_dirty.push_back(a);
     }
-    tile_of_slot[s] = static_cast<int32_t>(t_base + placed);
-    slot_pos[s] = used_slots[static_cast<size_t>(placed)]++;
+    if (!b_touched[static_cast<size_t>(b)]) {
+      b_touched[static_cast<size_t>(b)] = 1;
+      b_dirty.push_back(b);
+    }
+    ma[c / 64] |= 1ull << (c % 64);
+    mb[c / 64] |= 1ull << (c % 64);
+    colors_out[e] = static_cast<int32_t>(c);
+    if (c > max_color) max_color = c;
   }
-  flush_d();
-  return t_base;
+  return max_color + 1;
 }
 
 // ------------------------------------------------------------ compaction

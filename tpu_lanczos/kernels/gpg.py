@@ -110,101 +110,152 @@ class GPGGraph:
         return np.asarray(y).reshape(-1)[self.new_of_old]
 
 
-def _assign_colors(a_c: np.ndarray, b_c: np.ndarray) -> np.ndarray:
-    """Konig coloring (native) with python greedy fallback."""
+def _assign_colors(group, a_cell, b_cell, g_s, sub_d):
+    """Smallest-free-color greedy edge coloring PER GROUP (= (D, granule)):
+    a-side = staging cell (ur, ld), b-side = dest cell (rd, ld), both
+    reset per group.  Colors per group stay near the group's own local
+    degree — the concentration that keeps slots-per-group (and tile
+    count) near the per-group optimum.  Native C++ with a python
+    round-based fallback."""
     try:
         from tpu_lanczos.graphs import native
 
         if native.available():
-            return native.edge_color(a_c, b_c)
+            order = np.argsort(group, kind="stable")
+            colors = np.empty(group.size, dtype=np.int32)
+            colors[order] = native.gpg_color(
+                group[order], group[order], a_cell[order], b_cell[order],
+                g_s * LANE, sub_d * LANE,
+            )
+            return colors
     except Exception:
         pass
     from tpu_lanczos.kernels.cst import _greedy_slots
 
-    return _greedy_slots(a_c, b_c)
-
-
-def _place_slots(slot_of_entry, dest_cell, slot_d, n_slots, sub_d):
-    """Native bin-pack with python fallback (small graphs / no toolchain)."""
-    try:
-        from tpu_lanczos.graphs import native
-
-        if native.available():
-            return native.gpg_place(
-                slot_of_entry, dest_cell, slot_d, n_slots, sub_d
-            )
-    except Exception:
-        pass
-    # python first-fit (same algorithm, small-scale fallback)
-    S = slot_d.size
-    order = np.argsort(slot_of_entry, kind="stable")
-    bounds = np.searchsorted(slot_of_entry[order], np.arange(S + 1))
-    tile_of_slot = np.empty(S, dtype=np.int32)
-    slot_pos = np.empty(S, dtype=np.int32)
-    t_base = 0
-    cur_d = None
-    tiles: list[tuple[set, int]] = []
-    for s in range(S):
-        if slot_d[s] != cur_d:
-            t_base += len(tiles)
-            tiles = []
-            cur_d = slot_d[s]
-        cells = dest_cell[order[bounds[s]:bounds[s + 1]]]
-        cellset = set(cells.tolist())
-        placed = -1
-        for t, (used, cnt) in enumerate(tiles):
-            if cnt >= n_slots or used & cellset:
-                continue
-            placed = t
-            break
-        if placed < 0:
-            tiles.append((set(), 0))
-            placed = len(tiles) - 1
-        used, cnt = tiles[placed]
-        used |= cellset
-        tiles[placed] = (used, cnt + 1)
-        tile_of_slot[s] = t_base + placed
-        slot_pos[s] = cnt
-    return tile_of_slot, slot_pos, t_base + len(tiles)
+    a_key = group.astype(np.int64) * (g_s * LANE) + a_cell
+    b_key = group.astype(np.int64) * (sub_d * LANE) + b_cell
+    return _greedy_slots(a_key, b_key)
 
 
 def _build_gpg_level(src_pos, dst_pos, g_s, sub_s, sub_d):
     """Build one delivery level's tile arrays from endpoint positions.
 
+    Slot assignment: per-(D, granule) greedy edge coloring -> slot =
+    (D, granule, color); slots sorted (D, color, granule) and chunked
+    ``n_slots`` per tile, so sibling slots of one group land in different
+    tiles.  Cross-group dest-cell collisions within a tile (rare at the
+    densities this format runs at) are resolved by bumping the colliding
+    entries to a fresh round of coloring+tiling over the leftovers; tiles
+    from every round are renumbered d-major at the end.
+
     Returns dict of numpy arrays: l1 (T*sub_s, 128) int8, l2 (T*128,
     sub_d) uint8, g_ids (T, n_slots) int32, d_ids (T,) int32.
     """
     n_slots = sub_s // g_s
+    E = src_pos.size
     u = src_pos // LANE                 # source sublane
     sl = src_pos % LANE                 # source lane
-    g = u // g_s                        # granule
-    ur = u % g_s                        # row within granule
+    g_all = (u // g_s).astype(np.int64)  # granule
+    ur_all = u % g_s                    # row within granule
     w = dst_pos // LANE
-    D = w // sub_d                      # dest chunk
-    rd = (w % sub_d).astype(np.int64)   # dest sublane within chunk
-    ld = dst_pos % LANE                 # dest lane
+    D_all = (w // sub_d).astype(np.int64)
+    rd_all = (w % sub_d).astype(np.int64)
+    ld_all = dst_pos % LANE
+    a_cell_all = (ur_all * LANE + ld_all).astype(np.int32)
+    b_cell_all = (rd_all * LANE + ld_all).astype(np.int32)
+    G = int(g_all.max()) + 1 if E else 1
 
-    # slot instance within (D, granule): Konig color over the bipartite
-    # multigraph (staging cell (ur, ld)) x (dest cell (rd, ld))
-    gd = D * np.int64(1 << 31) + g
-    a_key = gd * (g_s * LANE) + ur * LANE + ld
-    b_key = gd * (sub_d * LANE) + rd * LANE + ld
-    color = _assign_colors(_compact(a_key), _compact(b_key))
+    # per-entry outputs across rounds.  Tile uid packs
+    # (D, round, color, chunk-within-class) so that same-group colors can
+    # never share a tile (the small-chunk-count livelock) and the final
+    # compact renumbering is d-major.
+    full_uid = np.zeros(E, dtype=np.int64)
+    pos_of = np.zeros(E, dtype=np.int32)     # slot position in tile
 
-    c_mult = int(color.max()) + 1 if color.size else 1
-    skey = gd * c_mult + color
-    slot_of_entry, s_uniq = _compact(skey, return_unique=True)
-    slot_gd = s_uniq // c_mult
-    slot_d = (slot_gd // (1 << 31)).astype(np.int32)
-    slot_g = (slot_gd % (1 << 31)).astype(np.int32)
+    active = np.arange(E)
+    rnd = 0
+    while active.size:
+        D = D_all[active]
+        g = g_all[active]
+        group = _compact(D * np.int64(1 << 31) + g)
+        if rnd < 12:
+            color = _assign_colors(
+                group, a_cell_all[active], b_cell_all[active], g_s, sub_d
+            ).astype(np.int64)
+            per_tile = n_slots
+        else:  # safety valve: every entry its own slot and tile
+            order0 = np.argsort(group, kind="stable")
+            gs_ = group[order0]
+            newg = np.ones(gs_.size, dtype=bool)
+            newg[1:] = gs_[1:] != gs_[:-1]
+            gstart = np.maximum.accumulate(
+                np.where(newg, np.arange(gs_.size), 0)
+            )
+            color = np.empty(active.size, dtype=np.int64)
+            color[order0] = np.arange(gs_.size) - gstart
+            per_tile = 1
+        c_mult = int(color.max()) + 1 if color.size else 1
+        assert c_mult < (1 << 20), "color overflow in GPG packer"
+        # slot = (D, color, g); tiles chunk slots WITHIN one (D, color)
+        # class, so two colors of the same group are never tiled together
+        skey = (D * c_mult + color) * G + g
+        slot_of_entry, s_uniq = _compact(skey, return_unique=True)
+        S = s_uniq.size
+        slot_dc = s_uniq // G               # (D, color) class
+        new_c = np.ones(S, dtype=bool)
+        new_c[1:] = slot_dc[1:] != slot_dc[:-1]
+        c_start = np.maximum.accumulate(np.where(new_c, np.arange(S), 0))
+        within = np.arange(S) - c_start
+        s_pos = (within % per_tile).astype(np.int32)
+        s_chunk = within // per_tile
+        assert S == 0 or int(s_chunk.max()) < (1 << 24)
 
-    dest_cell = (rd * LANE + ld).astype(np.int32)
-    tile_of_slot, slot_pos, T = _place_slots(
-        slot_of_entry, dest_cell, slot_d, n_slots, sub_d
-    )
+        e_uid = (((D * 16 + rnd) << 44)
+                 | (color << 24) | s_chunk[slot_of_entry])
+        e_pos = s_pos[slot_of_entry]
 
-    tile_of = tile_of_slot[slot_of_entry].astype(np.int64)
-    ss = slot_pos[slot_of_entry].astype(np.int64) * g_s + ur
+        # collision detection: first entry per (tile, dest cell) stays
+        # (compact the uid first: uid * cell would overflow int64)
+        t_rank = _compact(e_uid).astype(np.int64)
+        ck = t_rank * (sub_d * LANE) + b_cell_all[active]
+        order = np.argsort(ck, kind="stable")
+        cks = ck[order]
+        head = np.ones(cks.size, dtype=bool)
+        head[1:] = cks[1:] != cks[:-1]
+        keep = np.zeros(active.size, dtype=bool)
+        keep[order[head]] = True
+        if sub_d > sub_s:
+            # a fully-staged (tile, ld) column leaves no ghost staging row
+            # for the column's ghost dest cells (there are sub_d of them
+            # but only sub_s staging rows) — cap the column at sub_s - 1
+            ck2 = t_rank * LANE + ld_all[active]
+            order2 = np.argsort(ck2, kind="stable")
+            s2 = ck2[order2]
+            newk = np.ones(s2.size, dtype=bool)
+            newk[1:] = s2[1:] != s2[:-1]
+            kstart = np.maximum.accumulate(
+                np.where(newk, np.arange(s2.size), 0)
+            )
+            rank2 = np.arange(s2.size) - kstart
+            keep2 = np.zeros(active.size, dtype=bool)
+            keep2[order2] = rank2 < (sub_s - 1)
+            keep &= keep2
+
+        kept = active[keep]
+        full_uid[kept] = e_uid[keep]
+        pos_of[kept] = e_pos[keep]
+        active = active[~keep]
+        rnd += 1
+
+    # d-major tile renumbering: uid sorts by (D, round, color, chunk)
+    tile_of = _compact(full_uid).astype(np.int64)
+    T = int(tile_of.max()) + 1 if E else 0
+
+    g = g_all
+    ur = ur_all
+    ld = ld_all
+    rd = rd_all
+    ss = pos_of.astype(np.int64) * g_s + ur
 
     T = max(T, 1)
     l1 = np.full((T * sub_s, LANE), LANE - 1, dtype=np.int8)
@@ -238,10 +289,10 @@ def _build_gpg_level(src_pos, dst_pos, g_s, sub_s, sub_d):
     l2[col, rd] = ss.astype(np.uint8)
 
     g_ids = np.zeros((T, n_slots), dtype=np.int32)  # ghost slots -> granule 0
-    g_ids[tile_of_slot, slot_pos] = slot_g
+    g_ids[tile_of, pos_of] = g  # idempotent: all of a slot's entries agree
 
     d_ids = np.zeros(T, dtype=np.int32)
-    d_ids[tile_of_slot] = slot_d  # constant per tile by construction
+    d_ids[tile_of] = D_all  # constant per tile by construction
     return dict(l1=l1, l2=l2, g_ids=g_ids, d_ids=d_ids)
 
 

@@ -67,3 +67,61 @@ def test_cpg_lane127_invariant():
     assert np.all(cg.new_of_old % 128 != 127)
     mask = np.asarray(cg.realmask).reshape(-1, 128)
     assert np.all(mask[:, 127] == 0)
+
+
+def test_native_level_builder_matches_numpy():
+    """The native one-shot CPG level builder must reproduce the numpy
+    reference builder exactly (same tile numbering, l1/l2, ghost mex)."""
+    import numpy as np
+    import pytest
+
+    from tpu_lanczos.graphs import generators, native
+    from tpu_lanczos.kernels import cpg
+
+    if not native.available():
+        pytest.skip("native core unavailable")
+    g = generators.barabasi_albert(2000, 7, seed=3)
+    rows = g.row_ids().astype(np.int64)
+    cols = g.indices.astype(np.int64)
+    sub = 128
+    # simple identity-rank positions (skip lane 127), no theta split
+    pos = (np.arange(g.n) // 127) * 128 + np.arange(g.n) % 127
+    src, dst = pos[cols], pos[rows]
+    lv_nat = cpg._build_cpg_level(src, dst, sub)
+    lv_np = cpg._build_cpg_level_np(src, dst, sub)
+    # native Konig coloring is also used by the numpy path, so the two
+    # must agree bit for bit
+    np.testing.assert_array_equal(lv_nat.s_ids, lv_np.s_ids)
+    np.testing.assert_array_equal(lv_nat.d_ids, lv_np.d_ids)
+    np.testing.assert_array_equal(lv_nat.l1, lv_np.l1)
+    np.testing.assert_array_equal(lv_nat.l2, lv_np.l2)
+
+
+def test_native_split_rows_matches_numpy():
+    import numpy as np
+    import pytest
+
+    from tpu_lanczos.graphs import generators, native
+    from tpu_lanczos.kernels import cst
+
+    if not native.available():
+        pytest.skip("native core unavailable")
+    g = generators.barabasi_albert(2000, 7, seed=3)
+    rows = g.row_ids().astype(np.int64)
+    cols = g.indices.astype(np.int64)
+    u1, n1, p1 = native.split_rows(rows, g.n, 16)
+    # numpy path (bypass the native dispatch inside _split_rows)
+    deg = np.bincount(rows, minlength=g.n)
+    starts = np.zeros(g.n + 1, dtype=np.int64)
+    np.cumsum(deg, out=starts[1:])
+    within = np.arange(rows.size) - starts[rows]
+    part = within // 16
+    n_parts = np.maximum(deg + 15, 1) // 16
+    extra = np.maximum(n_parts - 1, 0)
+    virt_base = np.zeros(g.n, dtype=np.int64)
+    virt_base[1:] = np.cumsum(extra)[:-1]
+    virt_base += g.n
+    unit = np.where(part == 0, rows, virt_base[rows] + part - 1)
+    assert n1 == g.n + int(extra.sum())
+    np.testing.assert_array_equal(u1, unit)
+    np.testing.assert_array_equal(p1, np.repeat(np.arange(g.n), extra))

@@ -21,22 +21,38 @@ import time
 
 import numpy as np
 
-# (name, builder kwargs, reference analog + its CUDA k=50 seconds if any)
+# (name, builder kwargs, reference analog + its CUDA seconds at k=50 and
+#  k=100 where the reference recorded them: final_output1.txt:16-272
+#  (k=50) and :289-480 (k=100))
 CONFIGS = [
     dict(name="ba_1M_m10", kind="barabasi", n=1_000_000, m=10,
-         analog="bn1000000e9999944", ref_s=0.4166),
+         analog="bn1000000e9999944", ref_s=0.4166, ref_s_k100=0.8096),
     dict(name="uniform_1M_e10M", kind="uniform", n=1_000_000, e=10_000_000,
          analog=None, ref_s=None),
     dict(name="stencil_1400", kind="stencil", side=1400,
          analog="mesh-class (California-adaptive scale)", ref_s=None),
     dict(name="stencil_2600", kind="stencil", side=2600,
-         analog="adaptive n=6.8M nnz=27M", ref_s=1.2654),
+         analog="adaptive n=6.8M nnz=27M", ref_s=1.2654, ref_s_k100=2.4555),
     dict(name="stencil_4000", kind="stencil", side=4000,
          analog="road_central n=14M nnz=34M / hugetrace n=16M nnz=48M",
          ref_s=2.9778),  # mean of road_central 2.7427 and hugetrace 3.2129
+    dict(name="channel_3d", kind="stencil3d", nx=500, ny=100, nz=100,
+         analog="channel-500x100x100-b050 n=4.8M nnz=85M (CFD mesh, "
+                "uniform degree ~18)",
+         ref_s=0.4809, ref_s_k100=1.8055),
+    dict(name="rmat_540k_e15M", kind="rmat", n=540_000, e=15_250_000,
+         analog="coPapersDBLP n=540K nnz=30M deg~56 (co-authorship, "
+                "community-clustered)",
+         ref_s=0.1200, ref_s_k100=0.3276),
+    dict(name="rmat_4M_e35M", kind="rmat", n=4_000_000, e=34_700_000,
+         analog="com-LiveJournal n=4.0M nnz=69M (social; R-MAT carries "
+                "the real graph's skew + community structure)",
+         ref_s=1.3245, ref_s_k100=2.5756),
     dict(name="ba_4M_m9", kind="barabasi", n=4_000_000, m=9,
-         analog="com-LiveJournal n=4.0M nnz=69M (power-law social)",
-         ref_s=1.3245),
+         analog="com-LiveJournal scale, pure preferential-attachment "
+                "expander (no community structure: adversarial stress "
+                "case, strictly harder than the real graph)",
+         ref_s=1.3245, ref_s_k100=2.5756),
 ]
 
 HBM_GBPS = 819.0  # v5e
@@ -52,6 +68,10 @@ def build(cfg):
                                          use_native=True)
     if cfg["kind"] == "stencil":
         return generators.stencil_2d(cfg["side"])
+    if cfg["kind"] == "stencil3d":
+        return generators.stencil_3d(cfg["nx"], cfg["ny"], cfg["nz"])
+    if cfg["kind"] == "rmat":
+        return generators.rmat(cfg["n"], cfg["e"], seed=0)
     raise ValueError(cfg["kind"])
 
 
@@ -95,14 +115,16 @@ def run_one(cfg, k=50, reps=3):
     else:
         idx_bytes = g.nnz * 8
     roofline_s = k * idx_bytes / (HBM_GBPS * 1e9)
+    ref_key = "ref_s" if k == 50 else ("ref_s_k100" if k == 100 else None)
+    ref_s = cfg.get(ref_key) if ref_key else None
     out = dict(
         name=cfg["name"], n=g.n, nnz=g.nnz, fmt=fmt, k=k,
         build_s=round(t_build, 1), pack_s=round(t_pack, 1),
         compile_s=round(t_compile, 1), lanczos_s=round(t, 4),
         gnnz_per_s=round(g.nnz * k / t / 1e9, 2),
         roofline_pct=round(100 * roofline_s / t, 1),
-        analog=cfg.get("analog"), ref_s=cfg.get("ref_s"),
-        vs_ref=round(cfg["ref_s"] / t, 2) if cfg.get("ref_s") else None,
+        analog=cfg.get("analog"), ref_s=ref_s,
+        vs_ref=round(ref_s / t, 2) if ref_s else None,
     )
     print(json.dumps(out), flush=True)
     return out
@@ -113,12 +135,14 @@ def main(argv=None):
     ap.add_argument("--quick", action="store_true",
                     help="only the two smallest configs")
     ap.add_argument("--only", help="comma-separated config names")
+    ap.add_argument("--k", type=int, default=50,
+                    help="krylov dim (the reference recorded 50 and 100)")
     args = ap.parse_args(argv)
     configs = CONFIGS[:1] + CONFIGS[2:3] if args.quick else CONFIGS
     if args.only:
         names = set(args.only.split(","))
         configs = [c for c in CONFIGS if c["name"] in names]
-    results = [run_one(c) for c in configs]
+    results = [run_one(c, k=args.k) for c in configs]
     print(f"\n{'name':22} {'n':>10} {'nnz':>11} {'fmt':9} "
           f"{'lanczos_s':>9} {'Gnnz/s':>7} {'vs_ref':>7}", file=sys.stderr)
     for r in results:

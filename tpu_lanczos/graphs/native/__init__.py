@@ -88,6 +88,16 @@ def _load():
         lib.gc_gpg_color.restype = c_i64
         lib.gc_gpg_color.argtypes = [c_i64, c_i64, c_i64,
                                      c_p, c_p, c_p, c_p, c_p]
+        lib.gc_cpg_build_level.restype = c_p
+        lib.gc_cpg_build_level.argtypes = [c_i64, c_i64, c_p, c_p]
+        lib.gc_cpgl_tiles.restype = c_i64
+        lib.gc_cpgl_tiles.argtypes = [c_p]
+        lib.gc_cpgl_fill.restype = None
+        lib.gc_cpgl_fill.argtypes = [c_p, c_p, c_p, c_p, c_p]
+        lib.gc_cpgl_free.restype = None
+        lib.gc_cpgl_free.argtypes = [c_p]
+        lib.gc_split_rows.restype = c_i64
+        lib.gc_split_rows.argtypes = [c_i64, c_i64, c_i64, c_p, c_p, c_p]
         _lib = lib
         return _lib
 
@@ -196,6 +206,45 @@ def compact(keys: np.ndarray, return_unique: bool = False):
     if return_unique:
         return ranks, uniq[:n_u]
     return ranks
+
+
+def cpg_build_level(src_pos: np.ndarray, dst_pos: np.ndarray, sub: int):
+    """Native CPG level builder (full port of cpg.py _build_cpg_level's
+    hot path: compaction, Konig tiers, tile numbering, l1/l2 fill with
+    ghost-dest mex).  Returns (l1, l2, s_ids, d_ids) numpy arrays."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native core unavailable: {_build_error}")
+    sp = np.ascontiguousarray(src_pos, dtype=np.int64)
+    dp = np.ascontiguousarray(dst_pos, dtype=np.int64)
+    h = lib.gc_cpg_build_level(sp.size, sub, _ptr(sp), _ptr(dp))
+    if not h:
+        raise RuntimeError("gc_cpg_build_level failed")
+    try:
+        t = lib.gc_cpgl_tiles(h)
+        l1 = np.empty((t * sub, 128), dtype=np.int8)
+        l2 = np.empty((t * 128, sub), dtype=np.uint8)
+        s_ids = np.empty(t, dtype=np.int32)
+        d_ids = np.empty(t, dtype=np.int32)
+        lib.gc_cpgl_fill(h, _ptr(l1), _ptr(l2), _ptr(s_ids), _ptr(d_ids))
+    finally:
+        lib.gc_cpgl_free(h)
+    return l1, l2, s_ids, d_ids
+
+
+def split_rows(rows: np.ndarray, n_units0: int, theta: int):
+    """Native theta-split (cst.py _split_rows semantics): entries sorted by
+    row; returns (unit_of_entry, n_units, parents)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native core unavailable: {_build_error}")
+    r = np.ascontiguousarray(rows, dtype=np.int64)
+    unit = np.empty(r.size, dtype=np.int64)
+    # upper bound on virtual units: sum(ceil(deg/theta) - 1) <= E / theta
+    parents = np.empty(r.size // max(theta, 1) + 1, dtype=np.int64)
+    n_units = lib.gc_split_rows(r.size, n_units0, theta, _ptr(r),
+                                _ptr(unit), _ptr(parents))
+    return unit, int(n_units), parents[: n_units - n_units0]
 
 
 def gpg_color(

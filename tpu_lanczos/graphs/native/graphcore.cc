@@ -16,6 +16,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <chrono>
 #include <random>
 #include <vector>
 
@@ -274,9 +275,25 @@ void *gc_uniform(int64_t n, int64_t num_edges, uint64_t seed) {
 // a_ids / b_ids are pre-compacted endpoint ids in [0, n_a) / [0, n_b).
 // colors_out[e] receives edge e's color. Returns #colors used, -1 on error.
 
+namespace {
+
+int64_t edge_color_impl(int64_t n_edges, int64_t n_a, int64_t n_b,
+                        const int32_t *a_ids, const int32_t *b_ids,
+                        int32_t *colors_out);
+
+}  // namespace
+
 extern "C" int64_t gc_edge_color(int64_t n_edges, int64_t n_a, int64_t n_b,
                                  const int32_t *a_ids, const int32_t *b_ids,
                                  int32_t *colors_out) {
+  return edge_color_impl(n_edges, n_a, n_b, a_ids, b_ids, colors_out);
+}
+
+namespace {
+
+int64_t edge_color_impl(int64_t n_edges, int64_t n_a, int64_t n_b,
+                        const int32_t *a_ids, const int32_t *b_ids,
+                        int32_t *colors_out) {
   if (n_edges == 0) return 0;
   // per-node CSR of incident edge ids
   std::vector<int64_t> a_ptr(static_cast<size_t>(n_a) + 1, 0);
@@ -395,6 +412,321 @@ extern "C" int64_t gc_edge_color(int64_t n_edges, int64_t n_a, int64_t n_b,
   return used;
 }
 
+// LSD radix argsort of non-negative int64 keys (16-bit digits, skipping
+// digit positions where all keys agree).  ~5x the throughput of a
+// comparator std::sort over index indirection at the 20-70M sizes the
+// packer runs at.
+void radix_argsort(int64_t n, const int64_t *keys, std::vector<int64_t> &order) {
+  // sort (key, index) pairs so every pass streams sequentially instead of
+  // chasing order[i] -> keys[...] indirections (the cache-miss hot spot)
+  struct KV { uint64_t k; int64_t v; };
+  std::vector<KV> a(static_cast<size_t>(n)), b(static_cast<size_t>(n));
+  uint64_t all_or = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    a[static_cast<size_t>(i)] = {static_cast<uint64_t>(keys[i]), i};
+    all_or |= static_cast<uint64_t>(keys[i]);
+  }
+  std::vector<int64_t> hist(1 << 16);
+  for (int shift = 0; shift < 64; shift += 16) {
+    if (((all_or >> shift) & 0xffff) == 0) continue;
+    std::fill(hist.begin(), hist.end(), 0);
+    for (int64_t i = 0; i < n; ++i)
+      hist[(a[static_cast<size_t>(i)].k >> shift) & 0xffff]++;
+    int64_t acc = 0;
+    for (int64_t d = 0; d < (1 << 16); ++d) {
+      const int64_t c = hist[static_cast<size_t>(d)];
+      hist[static_cast<size_t>(d)] = acc;
+      acc += c;
+    }
+    for (int64_t i = 0; i < n; ++i) {
+      const KV kv = a[static_cast<size_t>(i)];
+      b[static_cast<size_t>(hist[(kv.k >> shift) & 0xffff]++)] = kv;
+    }
+    a.swap(b);
+  }
+  order.resize(static_cast<size_t>(n));
+  for (int64_t i = 0; i < n; ++i)
+    order[static_cast<size_t>(i)] = a[static_cast<size_t>(i)].v;
+}
+
+// Sorted-rank compaction of int64 keys into [0, n_uniq); optionally
+// collects the sorted unique keys.  Shared by gc_compact_i64 and the
+// native CPG level builder.
+int64_t compact_impl(int64_t n, const int64_t *keys, int32_t *out_ranks,
+                     std::vector<int64_t> *out_uniq) {
+  if (n == 0) return 0;
+  std::vector<int64_t> order;
+  radix_argsort(n, keys, order);
+  int64_t rank = -1;
+  int64_t prev = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t e = order[static_cast<size_t>(i)];
+    if (rank < 0 || keys[e] != prev) {
+      ++rank;
+      prev = keys[e];
+      if (out_uniq) out_uniq->push_back(prev);
+    }
+    out_ranks[e] = static_cast<int32_t>(rank);
+  }
+  return rank + 1;
+}
+
+}  // namespace
+
+// ------------------------------------------------ native CPG level builder
+//
+// Full native port of the CPG packer's per-level hot path
+// (tpu_lanczos/kernels/cpg.py _build_cpg_level): block keys, endpoint
+// compaction, Konig tier coloring, tile compaction, l1/l2 index-tile
+// construction including the ghost-dest mex fill.  This was the round-1
+// pack-time pathology (84s for the 20M-entry flagship graph in
+// numpy; the reference builds the same graph's CSR in seconds,
+// serial/lib/adjMatrix.cc:18-52).
+
+namespace {
+
+// O(E) smallest-free-color greedy edge coloring with one inline uint64
+// bitmap per endpoint (colors 0-63) and a sparse overflow table for the
+// rare hot cells needing more.  Uses <= 2*Delta - 1 colors in theory,
+// ~Delta + O(1) on the packer's workloads; chosen over Konig for very
+// large levels where the alternating-path walks go superlinear.
+int64_t edge_color_greedy_impl(int64_t n_edges, int64_t n_a, int64_t n_b,
+                               const int32_t *a_ids, const int32_t *b_ids,
+                               int32_t *colors_out) {
+  std::vector<uint64_t> a_used(static_cast<size_t>(n_a), 0);
+  std::vector<uint64_t> b_used(static_cast<size_t>(n_b), 0);
+  // overflow: per node, extra words for colors >= 64 (rare)
+  std::vector<std::vector<uint64_t>> a_over, b_over;
+  std::vector<int32_t> a_over_id(static_cast<size_t>(n_a), -1);
+  std::vector<int32_t> b_over_id(static_cast<size_t>(n_b), -1);
+  int64_t used_max = 0;
+  for (int64_t e = 0; e < n_edges; ++e) {
+    const int32_t a = a_ids[e], b = b_ids[e];
+    const uint64_t f0 = ~(a_used[static_cast<size_t>(a)] |
+                          b_used[static_cast<size_t>(b)]);
+    int64_t c;
+    if (f0) {
+      c = __builtin_ctzll(f0);
+      a_used[static_cast<size_t>(a)] |= 1ull << c;
+      b_used[static_cast<size_t>(b)] |= 1ull << c;
+    } else {
+      // overflow path
+      if (a_over_id[static_cast<size_t>(a)] < 0) {
+        a_over_id[static_cast<size_t>(a)] =
+            static_cast<int32_t>(a_over.size());
+        a_over.emplace_back();
+      }
+      if (b_over_id[static_cast<size_t>(b)] < 0) {
+        b_over_id[static_cast<size_t>(b)] =
+            static_cast<int32_t>(b_over.size());
+        b_over.emplace_back();
+      }
+      auto &ao = a_over[static_cast<size_t>(a_over_id[static_cast<size_t>(a)])];
+      auto &bo = b_over[static_cast<size_t>(b_over_id[static_cast<size_t>(b)])];
+      const size_t wmax = std::max(ao.size(), bo.size()) + 1;
+      ao.resize(wmax, 0);
+      bo.resize(wmax, 0);
+      size_t w = 0;
+      while (w < wmax && !~(ao[w] | bo[w])) ++w;
+      const uint64_t f = ~(ao[w] | bo[w]);
+      c = 64 + static_cast<int64_t>(w) * 64 + __builtin_ctzll(f);
+      ao[w] |= 1ull << (c % 64);
+      bo[w] |= 1ull << (c % 64);
+    }
+    colors_out[e] = static_cast<int32_t>(c);
+    if (c + 1 > used_max) used_max = c + 1;
+  }
+  return used_max;
+}
+
+struct CPGLevelHandle {
+  int64_t sub = 0;
+  int64_t tiles = 0;
+  std::vector<int8_t> l1;    // (T*sub, 128)
+  std::vector<uint8_t> l2;   // (T*128, sub)
+  std::vector<int32_t> s_ids;  // (T,)
+  std::vector<int32_t> d_ids;  // (T,)
+};
+
+}  // namespace
+
+extern "C" void *gc_cpg_build_level(int64_t n_entries, int64_t sub,
+                                    const int64_t *src_pos,
+                                    const int64_t *dst_pos) {
+  const bool verbose = std::getenv("GC_VERBOSE") != nullptr;
+  const auto tick = [] { return std::chrono::steady_clock::now(); };
+  auto t0 = tick();
+  const auto lap = [&](const char *msg) {
+    if (!verbose) return;
+    const auto t1 = tick();
+    std::fprintf(stderr, "  gc level %s: %.1fs\n", msg,
+                 std::chrono::duration<double>(t1 - t0).count());
+    t0 = t1;
+  };
+  const int64_t LANE = 128;
+  const int64_t cells = sub * LANE;
+  const int64_t E = n_entries;
+
+  std::vector<int64_t> a_key(static_cast<size_t>(E));
+  std::vector<int64_t> b_key(static_cast<size_t>(E));
+  std::vector<int32_t> ss(static_cast<size_t>(E));
+  std::vector<int8_t> sl(static_cast<size_t>(E));
+  std::vector<int32_t> rd(static_cast<size_t>(E));
+  std::vector<int32_t> ld(static_cast<size_t>(E));
+  for (int64_t e = 0; e < E; ++e) {
+    const int64_t sp = src_pos[e], dp = dst_pos[e];
+    const int64_t s_chunk = sp / cells;
+    const int64_t d_chunk = dp / cells;
+    const int64_t ss_e = (sp / LANE) % sub;
+    const int64_t sl_e = sp % LANE;
+    const int64_t rd_e = (dp / LANE) % sub;
+    const int64_t ld_e = dp % LANE;
+    // D-major block ordering (cpg.py: block = d_chunk * 2^32 + s_chunk)
+    const int64_t block = (d_chunk << 32) | s_chunk;
+    a_key[static_cast<size_t>(e)] = block * cells + ss_e * LANE + ld_e;
+    b_key[static_cast<size_t>(e)] = block * cells + rd_e * LANE + ld_e;
+    ss[static_cast<size_t>(e)] = static_cast<int32_t>(ss_e);
+    sl[static_cast<size_t>(e)] = static_cast<int8_t>(sl_e);
+    rd[static_cast<size_t>(e)] = static_cast<int32_t>(rd_e);
+    ld[static_cast<size_t>(e)] = static_cast<int32_t>(ld_e);
+  }
+
+  std::vector<int32_t> a_c(static_cast<size_t>(E));
+  std::vector<int32_t> b_c(static_cast<size_t>(E));
+  const int64_t n_a = compact_impl(E, a_key.data(), a_c.data(), nullptr);
+  lap("compact_a");
+  const int64_t n_b = compact_impl(E, b_key.data(), b_c.data(), nullptr);
+  lap("compact_b");
+  a_key.clear(); a_key.shrink_to_fit();
+
+  std::vector<int32_t> tier(static_cast<size_t>(E));
+  // Konig (Delta-optimal) for normal sizes; its alternating-path walks go
+  // superlinear on the largest power-law levels, where the O(E) greedy's
+  // slightly-super-Delta tile count is the better trade
+  const bool huge = E > 30'000'000;
+  const int64_t rc =
+      huge ? edge_color_greedy_impl(E, n_a, n_b, a_c.data(), b_c.data(),
+                                    tier.data())
+           : edge_color_impl(E, n_a, n_b, a_c.data(), b_c.data(),
+                             tier.data());
+  if (rc < 0) return nullptr;
+  lap("konig");
+  a_c.clear(); a_c.shrink_to_fit();
+  b_c.clear(); b_c.shrink_to_fit();
+
+  int64_t tier_mult = 1;
+  for (int64_t e = 0; e < E; ++e)
+    tier_mult = std::max<int64_t>(tier_mult, tier[e] + 1);
+  // tkey = block * tier_mult + tier, with block recovered from b_key
+  std::vector<int64_t> tkey(static_cast<size_t>(E));
+  for (int64_t e = 0; e < E; ++e)
+    tkey[static_cast<size_t>(e)] =
+        (b_key[static_cast<size_t>(e)] / cells) * tier_mult + tier[e];
+  b_key.clear(); b_key.shrink_to_fit();
+  tier.clear(); tier.shrink_to_fit();
+
+  std::vector<int32_t> tile_of(static_cast<size_t>(E));
+  std::vector<int64_t> uniq_t;
+  const int64_t T = compact_impl(E, tkey.data(), tile_of.data(), &uniq_t);
+  lap("compact_t");
+  tkey.clear(); tkey.shrink_to_fit();
+
+  auto *h = new CPGLevelHandle;
+  h->sub = sub;
+  h->tiles = T;
+  h->s_ids.resize(static_cast<size_t>(T));
+  h->d_ids.resize(static_cast<size_t>(T));
+  for (int64_t t = 0; t < T; ++t) {
+    const int64_t block = uniq_t[static_cast<size_t>(t)] / tier_mult;
+    h->d_ids[static_cast<size_t>(t)] = static_cast<int32_t>(block >> 32);
+    h->s_ids[static_cast<size_t>(t)] =
+        static_cast<int32_t>(block & 0xffffffff);
+  }
+
+  // l1: ghost lane 127 everywhere, then scatter real source lanes
+  h->l1.assign(static_cast<size_t>(T) * sub * LANE,
+               static_cast<int8_t>(LANE - 1));
+  for (int64_t e = 0; e < E; ++e) {
+    const int64_t row = static_cast<int64_t>(tile_of[e]) * sub + ss[e];
+    h->l1[static_cast<size_t>(row * LANE + ld[e])] = sl[e];
+  }
+
+  // l2: per-(tile, ld) column, ghost dest cells select the first staging
+  // row whose l1 is ghost in that column (mex of the staged ss set)
+  const int64_t words = (sub + 63) / 64;
+  std::vector<uint64_t> bits(static_cast<size_t>(T) * LANE * words, 0);
+  for (int64_t e = 0; e < E; ++e) {
+    const int64_t col = static_cast<int64_t>(tile_of[e]) * LANE + ld[e];
+    bits[static_cast<size_t>(col * words + ss[e] / 64)] |=
+        1ull << (ss[e] % 64);
+  }
+  h->l2.resize(static_cast<size_t>(T) * LANE * sub);
+  for (int64_t col = 0; col < T * LANE; ++col) {
+    int64_t ff = sub - 1;  // fully-staged columns have no ghost dest cells
+    for (int64_t w = 0; w < words; ++w) {
+      const uint64_t f = ~bits[static_cast<size_t>(col * words + w)];
+      if (f) {
+        const int64_t c = w * 64 + __builtin_ctzll(f);
+        if (c < sub) { ff = c; break; }
+      }
+    }
+    std::memset(&h->l2[static_cast<size_t>(col * sub)],
+                static_cast<int>(ff), static_cast<size_t>(sub));
+  }
+  for (int64_t e = 0; e < E; ++e) {
+    const int64_t col = static_cast<int64_t>(tile_of[e]) * LANE + ld[e];
+    h->l2[static_cast<size_t>(col * sub + rd[e])] =
+        static_cast<uint8_t>(ss[e]);
+  }
+  lap("fills");
+  return h;
+}
+
+extern "C" int64_t gc_cpgl_tiles(void *h) {
+  return static_cast<CPGLevelHandle *>(h)->tiles;
+}
+extern "C" void gc_cpgl_fill(void *hh, int8_t *l1, uint8_t *l2,
+                             int32_t *s_ids, int32_t *d_ids) {
+  auto *h = static_cast<CPGLevelHandle *>(hh);
+  std::memcpy(l1, h->l1.data(), h->l1.size());
+  std::memcpy(l2, h->l2.data(), h->l2.size());
+  std::memcpy(s_ids, h->s_ids.data(), h->s_ids.size() * sizeof(int32_t));
+  std::memcpy(d_ids, h->d_ids.data(), h->d_ids.size() * sizeof(int32_t));
+}
+extern "C" void gc_cpgl_free(void *h) {
+  delete static_cast<CPGLevelHandle *>(h);
+}
+
+// ------------------------------------------------------ virtual-row split
+//
+// Native port of the theta-split (cst.py _split_rows): units with degree
+// > theta spawn virtual units; entries must arrive sorted by row.
+// Outputs unit_of_entry (E,) and parents (n_extra,) mapping each new
+// virtual unit (ids n_units0..) to its parent.  Returns n_units_total.
+
+extern "C" int64_t gc_split_rows(int64_t n_entries, int64_t n_units0,
+                                 int64_t theta, const int64_t *rows,
+                                 int64_t *unit_out, int64_t *parents_out) {
+  int64_t n_units = n_units0;
+  int64_t e = 0;
+  int64_t n_extra = 0;
+  while (e < n_entries) {
+    const int64_t r = rows[e];
+    int64_t e1 = e;
+    while (e1 < n_entries && rows[e1] == r) ++e1;
+    const int64_t deg = e1 - e;
+    const int64_t parts = std::max<int64_t>((deg + theta - 1) / theta, 1);
+    for (int64_t i = e; i < e1; ++i) {
+      const int64_t part = (i - e) / theta;
+      unit_out[i] = part == 0 ? r : n_units + part - 1;
+    }
+    for (int64_t p = 1; p < parts; ++p) parents_out[n_extra++] = r;
+    n_units += parts - 1;
+    e = e1;
+  }
+  return n_units;
+}
+
 // ------------------------------------------------------ GPG edge coloring
 //
 // Color-concentrating greedy edge coloring for the GPG packer
@@ -491,21 +823,10 @@ extern "C" int64_t gc_gpg_color(int64_t n_entries, int64_t n_a_cells,
 extern "C" int64_t gc_compact_i64(int64_t n, const int64_t *keys,
                                   int32_t *out_ranks, int64_t *out_uniq) {
   if (n == 0) return 0;
-  std::vector<int64_t> order(static_cast<size_t>(n));
-  for (int64_t i = 0; i < n; ++i) order[static_cast<size_t>(i)] = i;
-  std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
-    return keys[a] < keys[b];
-  });
-  int64_t rank = -1;
-  int64_t prev = 0;
-  for (int64_t i = 0; i < n; ++i) {
-    const int64_t e = order[static_cast<size_t>(i)];
-    if (rank < 0 || keys[e] != prev) {
-      ++rank;
-      prev = keys[e];
-      if (out_uniq) out_uniq[rank] = prev;
-    }
-    out_ranks[e] = static_cast<int32_t>(rank);
-  }
-  return rank + 1;
+  std::vector<int64_t> uniq;
+  const int64_t n_u =
+      compact_impl(n, keys, out_ranks, out_uniq ? &uniq : nullptr);
+  if (out_uniq)
+    std::memcpy(out_uniq, uniq.data(), uniq.size() * sizeof(int64_t));
+  return n_u;
 }

@@ -170,7 +170,28 @@ def _pos_of_unit(rank: np.ndarray, sub: int) -> np.ndarray:
 
 
 def _build_cpg_level(src_pos: np.ndarray, dst_pos: np.ndarray, sub: int):
-    """Build tile arrays for one delivery pass from endpoint positions."""
+    """Build tile arrays for one delivery pass from endpoint positions.
+
+    Dispatches to the native one-shot builder (graphcore.cc
+    gc_cpg_build_level: same block keys, Konig tiers, tile numbering,
+    and l1/l2 ghost-mex semantics) when available — the numpy path below
+    is the portable fallback and its correctness oracle
+    (tests/test_cpg.py cross-checks the two)."""
+    try:
+        from tpu_lanczos.graphs import native
+
+        if native.available():
+            l1, l2, s_ids, d_ids = native.cpg_build_level(
+                src_pos, dst_pos, sub
+            )
+            return _CPGLevel(l1=l1, l2=l2, s_ids=s_ids, d_ids=d_ids)
+    except Exception:
+        pass
+    return _build_cpg_level_np(src_pos, dst_pos, sub)
+
+
+def _build_cpg_level_np(src_pos: np.ndarray, dst_pos: np.ndarray, sub: int):
+    """Numpy reference implementation of the level builder."""
     s_chunk = src_pos // (sub * LANE)
     ss = (src_pos // LANE) % sub
     sl = src_pos % LANE

@@ -177,8 +177,16 @@ def _split_rows(rows: np.ndarray, cols: np.ndarray, n_units0: int, theta: int):
 
     Returns (unit_of_entry, n_units, parents) where ``parents`` maps each
     NEW virtual unit id -> its parent unit id (reduce edges, one level).
-    Entries must be sorted by ``rows``.
+    Entries must be sorted by ``rows``.  Dispatches to the native scan
+    (graphcore.cc gc_split_rows, identical id assignment) when available.
     """
+    try:
+        from tpu_lanczos.graphs import native
+
+        if native.available():
+            return native.split_rows(rows, n_units0, theta)
+    except Exception:
+        pass
     deg = np.bincount(rows, minlength=n_units0)
     starts = np.zeros(n_units0 + 1, dtype=np.int64)
     np.cumsum(deg, out=starts[1:])

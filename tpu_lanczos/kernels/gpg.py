@@ -50,6 +50,12 @@ from tpu_lanczos.utils import HostArray
 LANE = 128
 REAL_LANES = 127  # lane 127 of every sublane is a structural zero
 
+import os as _os
+import time as _time_mod
+
+_VERBOSE = bool(_os.environ.get("GPG_VERBOSE"))
+_T0 = _time_mod.time()
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
@@ -245,6 +251,13 @@ def _build_gpg_level(src_pos, dst_pos, g_s, sub_s, sub_d):
         full_uid[kept] = e_uid[keep]
         pos_of[kept] = e_pos[keep]
         active = active[~keep]
+        if _VERBOSE:
+            import sys as _sys
+            import time as _time
+
+            print(f"  gpg round {rnd}: kept={kept.size} left={active.size} "
+                  f"slots={S} t={_time.time() - _T0:.1f}s",
+                  file=_sys.stderr, flush=True)
         rnd += 1
 
     # d-major tile renumbering: uid sorts by (D, round, color, chunk)

@@ -54,12 +54,16 @@ def _pick_unroll(avg_tiles_per_chunk: float, sub: int, resident_x: bool) -> int:
     return max(u, 1)
 
 
-def _make_kernel(sub: int, resident_x: bool, U: int):
+def _make_kernel(sub: int, resident_x: bool, U: int, compensated: bool = False):
     n_slab = sub // LANE
     n_buf = 2 * U  # double-buffered groups of U tiles
 
     def _kernel(starts, counts, s_ids, run_ids, l1_hbm, l2_hbm, x_ref,
-                o_ref, l1_buf, l2_buf, xs_buf, sems):
+                o_ref, *rest):
+        if compensated:
+            e_ref, l1_buf, l2_buf, xs_buf, sems = rest
+        else:
+            l1_buf, l2_buf, xs_buf, sems = rest
         d = pl.program_id(0)
         start = starts[d]
         count = counts[d]
@@ -149,7 +153,8 @@ def _make_kernel(sub: int, resident_x: bool, U: int):
 
         n_groups = (count + (U - 1)) // U
 
-        def body(g, acc):
+        def body(g, carry):
+            acc, err = carry
             @pl.when(g + 1 < n_groups)
             def _():
                 start_group(g + 1)
@@ -170,12 +175,22 @@ def _make_kernel(sub: int, resident_x: bool, U: int):
                 g3 = chain(slot, i)
                 if U > 1:
                     g3 = jnp.where(i < count, g3, jnp.zeros_like(g3))
-                acc = acc + g3
-            return acc
+                if compensated:
+                    # Knuth two-sum: acc + g3 = s + e exactly; the error
+                    # stream accumulates separately (second-order rounding)
+                    s = acc + g3
+                    z = s - acc
+                    err = err + ((acc - (s - z)) + (g3 - z))
+                    acc = s
+                else:
+                    acc = acc + g3
+            return acc, err
 
-        o_ref[:] = jax.lax.fori_loop(
-            0, n_groups, body, jnp.zeros((LANE, sub), x_ref.dtype)
-        )
+        zero = jnp.zeros((LANE, sub), x_ref.dtype)
+        acc, err = jax.lax.fori_loop(0, n_groups, body, (zero, zero))
+        o_ref[:] = acc
+        if compensated:
+            e_ref[:] = err
 
     return _kernel
 
@@ -185,13 +200,17 @@ def _make_kernel(sub: int, resident_x: bool, U: int):
 _RESIDENT_X_LIMIT = 8 * 1024 * 1024
 
 
-def _run_level(x2d, level, n_chunks, sub, interpret):
+def _run_level(x2d, level, n_chunks, sub, interpret, compensated=False):
     resident_x = x2d.size * x2d.dtype.itemsize <= _RESIDENT_X_LIMIT
     U = _pick_unroll(
         level["s_ids"].shape[0] / max(n_chunks, 1), sub, resident_x
     )
+    out_block = pl.BlockSpec(
+        (LANE, sub), lambda d, *_: (d, 0), memory_space=pltpu.VMEM
+    )
+    out_sds = jax.ShapeDtypeStruct((n_chunks * LANE, sub), x2d.dtype)
     return pl.pallas_call(
-        _make_kernel(sub, resident_x, U),
+        _make_kernel(sub, resident_x, U, compensated=compensated),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,  # starts, counts, s_ids, run_ids
             grid=(n_chunks,),
@@ -202,9 +221,7 @@ def _run_level(x2d, level, n_chunks, sub, interpret):
                     memory_space=pltpu.VMEM if resident_x else pltpu.ANY
                 ),
             ],
-            out_specs=pl.BlockSpec(
-                (LANE, sub), lambda d, *_: (d, 0), memory_space=pltpu.VMEM
-            ),
+            out_specs=(out_block, out_block) if compensated else out_block,
             scratch_shapes=[
                 pltpu.VMEM((2 * U, sub, LANE), jnp.int8),
                 pltpu.VMEM((2 * U, LANE, sub), jnp.uint8),
@@ -212,7 +229,7 @@ def _run_level(x2d, level, n_chunks, sub, interpret):
                 pltpu.SemaphoreType.DMA((2 * U, 3)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((n_chunks * LANE, sub), x2d.dtype),
+        out_shape=(out_sds, out_sds) if compensated else out_sds,
         interpret=interpret,
     )(
         level["starts"], level["counts"], level["s_ids"], level["run_ids"],
@@ -239,6 +256,43 @@ def spmv_cpg(cg: CPGGraph, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarr
         y2d = y2d + untranspose(yt)
     y = y2d.reshape(-1) * cg.realmask.astype(x.dtype)
     return y
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def spmv_cpg_df(cg: CPGGraph, x_hi: jnp.ndarray, x_lo: jnp.ndarray,
+                interpret: bool = False):
+    """Double-word SpMV: y = A @ (x_hi + x_lo) as a (hi, lo) f32 pair.
+
+    The routing chain moves values exactly (no arithmetic); the only
+    rounding in the plain kernel is the per-tile accumulation, which the
+    ``compensated`` kernel variant two-sums, emitting an error stream.
+    The lo input rides the plain kernel (its own rounding is ~2^-48
+    relative to y).  Reduce levels fold partial (hi, err) pairs with an
+    elementwise two-sum outside the kernel.  See core/df64.py."""
+    from tpu_lanczos.core.df64 import fast_two_sum, two_sum
+
+    C = cg.n_chunks
+    sub = cg.sub
+    n_sub = cg.n_sub
+    hi2d = x_hi.reshape(n_sub, LANE)
+    lo2d = x_lo.reshape(n_sub, LANE)
+
+    def untranspose(yt):
+        return yt.reshape(C, LANE, sub).transpose(0, 2, 1).reshape(n_sub, LANE)
+
+    yt, et = _run_level(hi2d, cg.levels[0], C, sub, interpret,
+                        compensated=True)
+    lt = _run_level(lo2d, cg.levels[0], C, sub, interpret)
+    y2d = untranspose(yt)
+    e2d = untranspose(et) + untranspose(lt)
+    for level in cg.levels[1:]:
+        yt, et = _run_level(y2d, level, C, sub, interpret, compensated=True)
+        lt = _run_level(e2d, level, C, sub, interpret)
+        y2d, t = two_sum(y2d, untranspose(yt))
+        e2d = e2d + t + untranspose(et) + untranspose(lt)
+    hi, lo = fast_two_sum(y2d.reshape(-1), e2d.reshape(-1))
+    mask = cg.realmask.astype(x_hi.dtype)  # exact 0/1 multiply
+    return hi * mask, lo * mask
 
 
 def available_for(graph) -> bool:

@@ -75,7 +75,9 @@ def build(cfg):
     raise ValueError(cfg["kind"])
 
 
-def run_one(cfg, k=50, reps=3):
+def run_one(cfg, k=50, reps=3, cache_dir=".bench_cache"):
+    import os
+
     import jax
     import jax.numpy as jnp
 
@@ -86,8 +88,35 @@ def run_one(cfg, k=50, reps=3):
     g = build(cfg)
     t_build = time.time() - t0
     t0 = time.time()
-    dg = best_device_pack(g)
-    t_pack = time.time() - t0
+    # pack cache: packing is deterministic per (config, code version), so
+    # k-sweeps and re-runs reuse it; pack_s is reported from the original
+    # uncached pack (recorded beside the cache)
+    os.makedirs(cache_dir, exist_ok=True)
+    cpath = os.path.join(cache_dir, f"suite_{cfg['name']}_cpg.npz")
+    dg = None
+    t_pack = None
+    if os.path.exists(cpath) and jax.default_backend() not in ("cpu", "gpu"):
+        try:
+            from tpu_lanczos.kernels.cpg import load_cpg
+
+            dg = load_cpg(cpath)
+            z = np.load(cpath)
+            t_pack = float(z["pack_s"]) if "pack_s" in z else -1.0
+        except Exception:
+            dg = None
+    if dg is None:
+        dg = best_device_pack(g)
+        t_pack = time.time() - t0
+        if type(dg).__name__ == "CPGGraph":
+            try:
+                from tpu_lanczos.kernels.cpg import save_cpg
+
+                save_cpg(dg, cpath)
+                z = dict(np.load(cpath))
+                z["pack_s"] = t_pack
+                np.savez(cpath, **z)
+            except Exception:
+                pass
     x = jnp.asarray(dg.permute_in(np.ones(g.n), np.float32))
 
     def run():

@@ -12,9 +12,13 @@ gather-slow on real TPUs; this module shards the CPG format instead:
 - per iteration, q is all_gather'd (the halo exchange) and each device
   runs the unmodified CPG kernel over its local tiles — source chunk ids
   are global into the gathered vector;
-- virtual-row reduce levels read partial sums, which are sharded, so
-  each reduce level is preceded by an all_gather of the accumulator
-  (reduce levels are tiny; the gather is the cost of hub splitting).
+- virtual-row reduce levels read partial sums at virtual-cell positions
+  only, so each reduce level exchanges just the CHUNKS its tiles
+  actually source (computed at pack time; round-1 gathered the whole
+  accumulator per level, O(n_pad) extra comm per iteration): each shard
+  contributes its owned needed chunks (padded to a common count), the
+  all_gather'd compact buffer is identical on every shard, and the
+  level's source ids are remapped into it.
 
 This replaces the reference's dual-GPU row-partitioned SpMV
 (parallel-two-cards/lib/cu_lanczos.cu:62-168) with its per-iteration
@@ -97,9 +101,27 @@ def pack_cpg_sharded(
     c_loc = C // n_shards
 
     levels = []
-    for lv in cg.levels:
+    for lv_i, lv in enumerate(cg.levels):
         d_ids = np.asarray(lv["d_ids"])
         s_ids = np.asarray(lv["s_ids"])
+        # reduce levels (lv_i >= 1) read virtual-cell partials only:
+        # compute the union of needed source chunks, each shard's owned
+        # share (padded to a common m_pad), and the remap of s_ids into
+        # the compact gathered buffer layout (concat of per-shard slabs)
+        sel = None
+        if lv_i >= 1:
+            needed = np.unique(s_ids)
+            owner = needed // c_loc
+            per_owner = np.bincount(np.minimum(owner, n_shards - 1),
+                                    minlength=n_shards)
+            m_pad = max(int(per_owner.max()), 1)
+            sel = np.zeros((n_shards, m_pad), dtype=np.int32)
+            remap = np.zeros(C, dtype=np.int32)
+            for sh in range(n_shards):
+                own = needed[owner == sh]
+                sel[sh, : own.size] = (own % c_loc).astype(np.int32)
+                remap[own] = sh * m_pad + np.arange(own.size, dtype=np.int32)
+            s_ids = remap[s_ids]
         run_ids = np.asarray(lv["run_ids"])
         l1 = np.asarray(lv["l1"])
         l2 = np.asarray(lv["l2"])
@@ -140,6 +162,8 @@ def pack_cpg_sharded(
             run_ids=jnp.asarray(R),
             starts=jnp.asarray(ST), counts=jnp.asarray(CT),
         )
+        if sel is not None:
+            lvd["sel"] = jnp.asarray(sel)  # (n_shards, m_pad)
         if mesh is not None:
             P = jax.sharding.PartitionSpec
             NS = jax.sharding.NamedSharding
@@ -172,7 +196,7 @@ def _local_spmv(levels_loc, realmask_loc, q_loc, sub, c_loc, interpret):
         )
 
     def run(level, src_full):
-        lvl = {k: v[0] for k, v in level.items()}  # drop shard axis
+        lvl = {k: v[0] for k, v in level.items() if k != "sel"}
         x2d = src_full.reshape(-1, LANE)
         yt = _k._run_level(x2d, lvl, c_loc, sub, interpret)
         return untranspose(yt)
@@ -180,8 +204,13 @@ def _local_spmv(levels_loc, realmask_loc, q_loc, sub, c_loc, interpret):
     q_full = jax.lax.all_gather(q_loc, ROWS, tiled=True)
     y_loc = run(levels_loc[0], q_full).reshape(-1)
     for level in levels_loc[1:]:
-        acc_full = jax.lax.all_gather(y_loc, ROWS, tiled=True)
-        y_loc = y_loc + run(level, acc_full).reshape(-1)
+        # exchange only the chunks this level's tiles source (the
+        # virtual-cell partials): each shard contributes its owned
+        # needed chunks; s_ids were remapped into the compact layout
+        sel = level["sel"][0]  # (m_pad,) local chunk ids
+        contrib = y_loc.reshape(c_loc, sub * LANE)[sel].reshape(-1)
+        compact_full = jax.lax.all_gather(contrib, ROWS, tiled=True)
+        y_loc = y_loc + run(level, compact_full).reshape(-1)
     return y_loc * realmask_loc.astype(y_loc.dtype)
 
 

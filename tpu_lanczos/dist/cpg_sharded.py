@@ -198,7 +198,10 @@ def _local_spmv(levels_loc, realmask_loc, q_loc, sub, c_loc, interpret):
     def run(level, src_full):
         lvl = {k: v[0] for k, v in level.items() if k != "sel"}
         x2d = src_full.reshape(-1, LANE)
-        yt = _k._run_level(x2d, lvl, c_loc, sub, interpret)
+        # vma marks the kernel output device-varying so the shard_map
+        # varying-axes checker stays ON for the whole Lanczos body
+        yt = _k._run_level(x2d, lvl, c_loc, sub, interpret,
+                           vma=frozenset({ROWS}))
         return untranspose(yt)
 
     q_full = jax.lax.all_gather(q_loc, ROWS, tiled=True)
@@ -279,10 +282,13 @@ def _lanczos_cpg_shmap(mesh, levels, realmask, x, k, sub, c_loc,
         mesh=mesh,
         in_specs=(level_specs, P(ROWS), P(ROWS)),
         out_specs=(P(), P(), P(None, ROWS), P()),
-        # pallas_call's out_shape carries no vma annotation; collective
-        # placement is fully explicit here (all_gather/psum), so skip the
-        # varying-axes checker
-        check_vma=False,
+        # On hardware the pallas_call is opaque and its out_shape vma
+        # annotation (frozenset({ROWS})) lets the varying-axes checker
+        # validate the whole Lanczos body.  Interpret mode decomposes the
+        # kernel into raw HLO whose internal dynamic_slices mix varying
+        # operands with unvarying loop indices, which the checker rejects
+        # spuriously — so it is off only there.
+        check_vma=not interpret,
     )(levels, realmask, x)
 
 

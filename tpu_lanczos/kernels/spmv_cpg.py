@@ -200,7 +200,8 @@ def _make_kernel(sub: int, resident_x: bool, U: int, compensated: bool = False):
 _RESIDENT_X_LIMIT = 8 * 1024 * 1024
 
 
-def _run_level(x2d, level, n_chunks, sub, interpret, compensated=False):
+def _run_level(x2d, level, n_chunks, sub, interpret, compensated=False,
+               vma=None):
     resident_x = x2d.size * x2d.dtype.itemsize <= _RESIDENT_X_LIMIT
     U = _pick_unroll(
         level["s_ids"].shape[0] / max(n_chunks, 1), sub, resident_x
@@ -208,7 +209,10 @@ def _run_level(x2d, level, n_chunks, sub, interpret, compensated=False):
     out_block = pl.BlockSpec(
         (LANE, sub), lambda d, *_: (d, 0), memory_space=pltpu.VMEM
     )
-    out_sds = jax.ShapeDtypeStruct((n_chunks * LANE, sub), x2d.dtype)
+    # vma: varying-mesh-axes annotation when called inside a shard_map
+    # with the checker on (dist/cpg_sharded.py)
+    out_sds = jax.ShapeDtypeStruct((n_chunks * LANE, sub), x2d.dtype,
+                                   vma=vma)
     return pl.pallas_call(
         _make_kernel(sub, resident_x, U, compensated=compensated),
         grid_spec=pltpu.PrefetchScalarGridSpec(

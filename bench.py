@@ -55,6 +55,9 @@ def load_graph():
 def main():
     import jax
 
+    from tpu_lanczos.utils import enable_compile_cache
+
+    enable_compile_cache()
     g = load_graph()
     from tpu_lanczos.core.pipeline import best_device_pack
     from tpu_lanczos.core.lanczos import lanczos

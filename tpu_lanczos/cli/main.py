@@ -84,6 +84,9 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    from tpu_lanczos.utils import enable_compile_cache
+
+    enable_compile_cache()
 
     t0 = time.time()
     g, src = load_graph(args)

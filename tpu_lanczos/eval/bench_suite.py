@@ -167,6 +167,9 @@ def main(argv=None):
     ap.add_argument("--k", type=int, default=50,
                     help="krylov dim (the reference recorded 50 and 100)")
     args = ap.parse_args(argv)
+    from tpu_lanczos.utils import enable_compile_cache
+
+    enable_compile_cache()
     configs = CONFIGS[:1] + CONFIGS[2:3] if args.quick else CONFIGS
     if args.only:
         names = set(args.only.split(","))

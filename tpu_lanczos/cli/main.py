@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cpg-order", default="auto",
                    choices=["auto", "locality", "degree"],
                    help="CPG vertex ordering")
+    p.add_argument("--cpg-theta-s", default="auto", metavar="TS",
+                   help="CPG source-split cap: auto | off | <int>")
+    p.add_argument("--cpg-redeal", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="CPG block-aware entry dealing")
     p.add_argument("--ell-pct", type=float, default=98.0,
                    help="hybrid format: ELL width percentile (rest -> COO)")
     p.add_argument("--shards", type=int, default=0,
@@ -128,12 +133,19 @@ def main(argv=None) -> int:
         dg = None
         if args.fmt == "cpg" and (
             args.cpg_theta is not None or args.cpg_sub is not None
-            or args.cpg_order != "auto"
+            or args.cpg_order != "auto" or args.cpg_theta_s != "auto"
+            or args.cpg_redeal != "auto"
         ):
             from tpu_lanczos.kernels.cpg import pack_cpg
 
+            theta_s = ("auto" if args.cpg_theta_s == "auto"
+                       else None if args.cpg_theta_s == "off"
+                       else int(args.cpg_theta_s))
+            redeal = (None if args.cpg_redeal == "auto"
+                      else args.cpg_redeal == "on")
             dg = pack_cpg(g, theta=args.cpg_theta, sub=args.cpg_sub,
-                          order=args.cpg_order)
+                          order=args.cpg_order, theta_s=theta_s,
+                          redeal=redeal)
         res = expm_action(
             g, k=k, dtype=args.dtype, fmt=args.fmt, dg=dg,
             ell_pct=args.ell_pct, low_mem=args.low_mem,

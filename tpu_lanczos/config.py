@@ -30,6 +30,10 @@ class Config:
     cpg_theta: int | None = None   # virtual-row split threshold
     cpg_sub: int | None = None     # chunk height in sublanes
     cpg_order: str = "auto"        # "auto" | "locality" | "degree"
+    # source-split cap ("auto": = theta on power-law graphs, off on meshes)
+    cpg_theta_s: int | str | None = "auto"
+    # block-aware dealing (None = auto: on for power-law / "degree" order)
+    cpg_redeal: bool | None = None
     # XLA-format parameters (kernels/formats.py)
     ell_pct: float = 98.0  # hybrid: ELL width percentile; rest spills to COO
     lane_tile: int = 128
@@ -46,6 +50,20 @@ class Config:
     seed: int = 0
     verbose: bool = False
 
+    @staticmethod
+    def _norm_theta_s(v):
+        if v in ("auto", None):
+            return "auto" if v == "auto" else None
+        if v == "off":
+            return None
+        return int(v)
+
+    @staticmethod
+    def _norm_redeal(v):
+        if isinstance(v, bool) or v is None:
+            return v
+        return None if v == "auto" else v == "on"
+
     @classmethod
     def from_args(cls, args) -> "Config":
         """Build from the CLI's parsed argparse namespace."""
@@ -58,6 +76,8 @@ class Config:
             cpg_theta=getattr(args, "cpg_theta", None),
             cpg_sub=getattr(args, "cpg_sub", None),
             cpg_order=getattr(args, "cpg_order", "auto"),
+            cpg_theta_s=cls._norm_theta_s(getattr(args, "cpg_theta_s", "auto")),
+            cpg_redeal=cls._norm_redeal(getattr(args, "cpg_redeal", "auto")),
             ell_pct=getattr(args, "ell_pct", 98.0),
             shards=args.shards,
             filename=args.file,

@@ -96,7 +96,8 @@ def run_config(cfg, graph: CSRGraph | None = None, x: np.ndarray | None = None):
         from tpu_lanczos.kernels.cpg import pack_cpg
 
         dg = pack_cpg(graph, theta=cfg.cpg_theta, sub=cfg.cpg_sub,
-                      order=cfg.cpg_order)
+                      order=cfg.cpg_order, theta_s=cfg.cpg_theta_s,
+                      redeal=cfg.cpg_redeal)
     return expm_action(graph, x, fmt=cfg.fmt, dg=dg, ell_pct=cfg.ell_pct,
                        **common)
 

@@ -95,7 +95,12 @@ def pack_cpg_sharded(
 ) -> ShardedCPG:
     """Pack for an ``n_shards`` mesh by splitting a global CPG pack's
     tiles along their (d-major sorted) dest chunks."""
+    # the shard splitter assumes levels = [main, reduce...]; source-split
+    # broadcast levels (n_bcast > 0) are a single-chip optimization the
+    # sharded path doesn't carry yet -> force the dest-only pack.
+    kw.setdefault("theta_s", None)
     cg: CPGGraph = pack_cpg(graph, **kw)
+    assert cg.n_bcast == 0
     sub = cg.sub
     C = _round_up(cg.n_chunks, n_shards)
     c_loc = C // n_shards

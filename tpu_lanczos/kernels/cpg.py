@@ -84,19 +84,24 @@ class CPGGraph:
     levels: tuple          # tuple of per-level dicts of jnp arrays
     realmask: jnp.ndarray  # (n_pad,) f32 {0,1}
     new_of_old: np.ndarray
+    # leading broadcast levels (source-split copy distribution): levels
+    # [0, n_bcast) write into x before the main level runs.  See
+    # pack_cpg(theta_s=...).
+    n_bcast: int = 0
 
     def tree_flatten(self):
         return (self.levels, self.realmask), (
             self.n, self.n_chunks, self.nnz, self.theta, self.sub,
-            HostArray(self.new_of_old),
+            HostArray(self.new_of_old), self.n_bcast,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        n, n_chunks, nnz, theta, sub, new_of_old = aux
+        n, n_chunks, nnz, theta, sub, new_of_old, n_bcast = aux
         levels, realmask = leaves
         return cls(n=n, n_chunks=n_chunks, nnz=nnz, theta=theta, sub=sub,
-                   levels=levels, realmask=realmask, new_of_old=new_of_old.a)
+                   levels=levels, realmask=realmask, new_of_old=new_of_old.a,
+                   n_bcast=n_bcast)
 
     @property
     def n_pad(self) -> int:
@@ -278,7 +283,7 @@ def save_cpg(cg: CPGGraph, path: str) -> None:
     data = dict(
         n=cg.n, n_chunks=cg.n_chunks, nnz=cg.nnz, theta=cg.theta,
         sub=cg.sub, n_levels=len(cg.levels), new_of_old=cg.new_of_old,
-        realmask=np.asarray(cg.realmask),
+        realmask=np.asarray(cg.realmask), n_bcast=cg.n_bcast,
     )
     for i, lv in enumerate(cg.levels):
         for k in ("l1", "l2", "s_ids", "d_ids", "run_ids", "starts", "counts"):
@@ -307,7 +312,41 @@ def load_cpg(path: str) -> CPGGraph:
         theta=int(z["theta"]), sub=int(z["sub"]) if "sub" in z else 128,
         levels=levels,
         realmask=jnp.asarray(z["realmask"]), new_of_old=z["new_of_old"],
+        n_bcast=int(z["n_bcast"]) if "n_bcast" in z else 0,
     )
+
+
+def _group_deal(parent: np.ndarray, opp_chunk: np.ndarray,
+                n_parts_of: np.ndarray) -> np.ndarray:
+    """Block-aware dealing: within each (parent, opposite-chunk) group,
+    deal entries round-robin over the parent's parts, staggered by a
+    per-group offset.  Returns the part index per entry (0 = parent).
+
+    Why: an entry whose dest row was split may ride ANY virtual row of
+    that row (reduce levels sum them), and an entry whose source was
+    split may ride ANY copy (all copies hold the same value).  Global
+    within-row dealing is block-blind, so per-(S,D)-block load matrices
+    keep Poisson tails that set the Konig tile count; per-group dealing
+    flattens each block's load toward the mean (measured 2-3x fewer
+    tiles on R-MAT/BA expanders, docs/DESIGN.md)."""
+    key = parent.astype(np.int64) * (1 << 24) + opp_chunk
+    srt = np.argsort(key, kind="stable")
+    ks = key[srt]
+    newg = np.ones(ks.size, dtype=bool)
+    newg[1:] = ks[1:] != ks[:-1]
+    gid = np.cumsum(newg) - 1
+    gstart = np.zeros(int(gid[-1]) + 1 if ks.size else 1, dtype=np.int64)
+    gstart[gid[newg]] = np.nonzero(newg)[0]
+    within = np.arange(ks.size) - gstart[gid]
+    npart = n_parts_of[parent[srt]]
+    part_sorted = (within + gid) % np.maximum(npart, 1)
+    part = np.empty(ks.size, dtype=np.int64)
+    part[srt] = part_sorted
+    return part
+
+
+def _split_counts(deg: np.ndarray, cap: int) -> np.ndarray:
+    return np.maximum(deg + cap - 1, 1) // cap
 
 
 def pack_cpg(
@@ -316,6 +355,8 @@ def pack_cpg(
     seed: int = 0,
     sub: int | None = None,
     order: str = "auto",
+    theta_s: int | str | None = "auto",
+    redeal: bool | None = None,
 ) -> CPGGraph:
     """Pack a host CSR graph into the CPG device format.
 
@@ -332,6 +373,13 @@ def pack_cpg(
     - "auto": by degree coefficient-of-variation (the load-balancing
       dichotomy the reference handled with get_blockrows vs
       dynamic-parallelism kernels, cu_SPMV.cu:121-251).
+
+    ``theta_s`` caps the per-(source, tile) load by splitting heavy
+    SOURCE units into copies fed by a leading broadcast level (the dual
+    of the ``theta`` dest-row split).  "auto": equal to ``theta`` for
+    power-law ("degree") graphs, off for meshes.  ``redeal`` switches
+    the entry dealing from global round-robin to block-aware
+    (_group_deal); "auto" (None) follows the same dichotomy.
     """
     n = graph.n
     del seed  # orderings are deterministic; kept for API stability
@@ -346,9 +394,22 @@ def pack_cpg(
     if theta is None:
         d_mean = max(graph.nnz / max(n, 1), 1.0)
         theta = int(min(max(2 * d_mean + 8 * np.sqrt(d_mean), 16), 120))
+    if theta_s == "auto":
+        theta_s = theta if order == "degree" else None
+    if redeal is None:
+        redeal = order == "degree"
 
     rows = graph.row_ids().astype(np.int64)
     cols = graph.indices.astype(np.int64)
+
+    if theta_s is None and not redeal:
+        return _pack_legacy(graph, rows, cols, n, theta, sub, order)
+    return _pack_split(graph, rows, cols, n, theta, int(theta_s or 0),
+                       sub, order, redeal)
+
+
+def _pack_legacy(graph, rows, cols, n, theta, sub, order) -> CPGGraph:
+    """Original pack path: dest-only split, global dealing (meshes)."""
     unit, n_units, parents0 = _split_rows(rows, cols, n, theta)
 
     # reduce tree (same scheme as CST)
@@ -381,20 +442,127 @@ def pack_cpg(
         srt = np.argsort(-deg, kind="stable")
         rank = np.empty(n_units, dtype=np.int64)
         rank[srt] = np.arange(n_units)
+    pos_of = _pos_of_unit(rank, sub)
+
+    levels = []
+    levels.append(_build_cpg_level(pos_of[cols], pos_of[unit], sub))
+    for s_arr, d_arr in reduce_edges:
+        levels.append(_build_cpg_level(pos_of[s_arr], pos_of[d_arr], sub))
+    return _finalize(graph, n, n_units, theta, sub, pos_of, levels, n_bcast=0)
+
+
+def _pack_split(graph, rows, cols, n, theta, theta_s, sub, order,
+                redeal) -> CPGGraph:
+    """Source-split + (optionally) block-aware-redeal pack path.
+
+    Unit id space layout: [0, n) real rows, then dest virtual rows
+    (row-major), then source copies (col-major), then deeper reduce-tree
+    virtuals at the tail."""
+    ddeg = np.bincount(rows, minlength=n)
+    d_parts = _split_counts(ddeg, theta)
+    d_extra = np.maximum(d_parts - 1, 0)
+    d_base = np.zeros(n, dtype=np.int64)
+    d_base[1:] = np.cumsum(d_extra)[:-1]
+    d_base += n
+    n_units = n + int(d_extra.sum())
+    n_units_d = n_units
+
+    sdeg = np.bincount(cols, minlength=n)
+    if theta_s:
+        s_parts = _split_counts(sdeg, theta_s)
+    else:
+        s_parts = np.ones(n, dtype=np.int64)
+    s_extra = np.maximum(s_parts - 1, 0)
+    s_base = np.zeros(n, dtype=np.int64)
+    s_base[1:] = np.cumsum(s_extra)[:-1]
+    s_base += n_units
+    n_copies = int(s_extra.sum())
+    n_units += n_copies
+    # broadcast edges parent -> copy (copies allocated contiguously)
+    bc_src = np.repeat(np.arange(n), s_extra)
+    bc_dst = n_units_d + np.arange(n_copies)
+
+    # reduce tree over the dest virtuals (deep rows recurse; same
+    # grouping scheme as the legacy path)
+    reduce_edges = []
+    cur_src = n + np.arange(n_units_d - n)
+    cur_dst = np.repeat(np.arange(n), d_extra)
+    while cur_src.size:
+        rsort = np.argsort(cur_dst, kind="stable")
+        r_rows, r_cols = cur_dst[rsort], cur_src[rsort]
+        uniq, inv = np.unique(r_rows, return_inverse=True)
+        unit2, n_units2, parents2 = _split_rows(inv, r_cols, uniq.size, theta)
+        n_new = n_units2 - uniq.size
+        new_ids = np.arange(n_units, n_units + n_new)
+        unit_map = np.concatenate([uniq, new_ids])
+        reduce_edges.append((r_cols, unit_map[unit2]))
+        n_units += n_new
+        cur_src = new_ids
+        cur_dst = uniq[parents2]
+
+    # ---- ordering (capped-degree estimates; scanner-validated)
+    deg_u = np.full(n_units, theta, dtype=np.int64)  # virtuals ~ theta
+    deg_u[:n] = (np.minimum(ddeg, theta)
+                 + (np.minimum(sdeg, theta_s) if theta_s else 0)
+                 + d_extra + s_extra)
+    if n_copies:
+        deg_u[n_units_d:n_units_d + n_copies] = theta_s
+    if order == "locality":
+        rank = np.arange(n_units, dtype=np.int64)
+    else:
+        srt = np.argsort(-deg_u, kind="stable")
+        rank = np.empty(n_units, dtype=np.int64)
+        rank[srt] = np.arange(n_units)
+    pos_of = _pos_of_unit(rank, sub)
+
+    # ---- dest dealing (which part of its split row an entry rides)
+    if redeal:
+        s_chunk_of_entry = pos_of[cols] // (sub * LANE)
+        dpart = _group_deal(rows, s_chunk_of_entry, d_parts)
+    else:
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(ddeg, out=starts[1:])
+        dpart = (np.arange(rows.size) - starts[rows]) // theta
+    dunit = np.where(dpart == 0, rows, d_base[rows] + dpart - 1)
+
+    # ---- source dealing (which copy an entry reads)
+    if theta_s:
+        d_chunk_of_entry = pos_of[dunit] // (sub * LANE)
+        if redeal:
+            spart = _group_deal(cols, d_chunk_of_entry, s_parts)
+        else:
+            csort = np.argsort(cols, kind="stable")
+            sstarts = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(sdeg, out=sstarts[1:])
+            within = np.empty(cols.size, dtype=np.int64)
+            within[csort] = np.arange(cols.size) - sstarts[cols[csort]]
+            spart = within % np.maximum(s_parts[cols], 1)
+        sunit = np.where(spart == 0, cols, s_base[cols] + spart - 1)
+    else:
+        sunit = cols
+
+    levels = []
+    n_bcast = 0
+    if n_copies:
+        levels.append(_build_cpg_level(pos_of[bc_src], pos_of[bc_dst], sub))
+        n_bcast = 1
+    levels.append(_build_cpg_level(pos_of[sunit], pos_of[dunit], sub))
+    for s_arr, d_arr in reduce_edges:
+        levels.append(_build_cpg_level(pos_of[s_arr], pos_of[d_arr], sub))
+    return _finalize(graph, n, n_units, theta, sub, pos_of, levels,
+                     n_bcast=n_bcast)
+
+
+def _finalize(graph, n, n_units, theta, sub, pos_of, levels,
+              n_bcast) -> CPGGraph:
+    """Shared tail: chunk bucketing, realmask, device arrays, padding."""
     n_chunks = max(int(np.ceil(n_units / (sub * REAL_LANES))), 1)
     # bucket the chunk count as well (the grid size is part of the
     # compiled kernel's cache key); extra chunks have zero tiles
     n_chunks = _round_up(
         n_chunks, max(8, 1 << max((n_chunks - 1).bit_length() - 2, 0))
     )
-    pos_of = _pos_of_unit(rank, sub)
     new_of_old = pos_of[:n]
-
-    levels = []
-    levels.append(_build_cpg_level(pos_of[cols], pos_of[unit], sub))
-    for s_arr, d_arr in reduce_edges:
-        levels.append(_build_cpg_level(pos_of[s_arr], pos_of[d_arr], sub))
-
     n_pad = n_chunks * sub * LANE
     realmask = np.zeros(n_pad, dtype=np.float32)
     realmask[new_of_old] = 1.0
@@ -435,5 +603,5 @@ def pack_cpg(
     return CPGGraph(
         n=n, n_chunks=n_chunks, nnz=graph.nnz, theta=theta, sub=sub,
         levels=dev_levels, realmask=jnp.asarray(realmask),
-        new_of_old=new_of_old,
+        new_of_old=new_of_old, n_bcast=n_bcast,
     )

@@ -253,9 +253,14 @@ def spmv_cpg(cg: CPGGraph, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarr
         # (C*128, sub) stacked (ld, rd) blocks -> (n_sub, 128) y2d layout
         return yt.reshape(C, LANE, sub).transpose(0, 2, 1).reshape(n_sub, LANE)
 
-    yt = _run_level(x2d, cg.levels[0], C, sub, interpret)
+    nb = cg.n_bcast
+    for level in cg.levels[:nb]:
+        # broadcast pass: copy split-source parents' x values into their
+        # copy slots (exact: copy slots are zero in x, one entry per cell)
+        x2d = x2d + untranspose(_run_level(x2d, level, C, sub, interpret))
+    yt = _run_level(x2d, cg.levels[nb], C, sub, interpret)
     y2d = untranspose(yt)
-    for level in cg.levels[1:]:
+    for level in cg.levels[nb + 1:]:
         yt = _run_level(y2d, level, C, sub, interpret)
         y2d = y2d + untranspose(yt)
     y = y2d.reshape(-1) * cg.realmask.astype(x.dtype)
@@ -284,12 +289,19 @@ def spmv_cpg_df(cg: CPGGraph, x_hi: jnp.ndarray, x_lo: jnp.ndarray,
     def untranspose(yt):
         return yt.reshape(C, LANE, sub).transpose(0, 2, 1).reshape(n_sub, LANE)
 
-    yt, et = _run_level(hi2d, cg.levels[0], C, sub, interpret,
+    nb = cg.n_bcast
+    for level in cg.levels[:nb]:
+        # broadcast pass moves values exactly (one entry per dest cell,
+        # all other contributions are structural zeros) -> plain kernel
+        # on hi and lo separately introduces no rounding
+        hi2d = hi2d + untranspose(_run_level(hi2d, level, C, sub, interpret))
+        lo2d = lo2d + untranspose(_run_level(lo2d, level, C, sub, interpret))
+    yt, et = _run_level(hi2d, cg.levels[nb], C, sub, interpret,
                         compensated=True)
-    lt = _run_level(lo2d, cg.levels[0], C, sub, interpret)
+    lt = _run_level(lo2d, cg.levels[nb], C, sub, interpret)
     y2d = untranspose(yt)
     e2d = untranspose(et) + untranspose(lt)
-    for level in cg.levels[1:]:
+    for level in cg.levels[nb + 1:]:
         yt, et = _run_level(y2d, level, C, sub, interpret, compensated=True)
         lt = _run_level(e2d, level, C, sub, interpret)
         y2d, t = two_sum(y2d, untranspose(yt))

@@ -64,7 +64,9 @@ def main():
     import jax.numpy as jnp
 
     t0 = time.time()
-    cpg_cache = os.path.join(CACHE, f"cpg_{N}_{M}_{SEED}.npz")
+    from tpu_lanczos.kernels.cpg import PACK_VERSION
+
+    cpg_cache = os.path.join(CACHE, f"cpg_{N}_{M}_{SEED}_v{PACK_VERSION}.npz")
     dg = None
     if jax.default_backend() not in ("cpu", "gpu") and os.path.exists(cpg_cache):
         from tpu_lanczos.kernels.cpg import load_cpg

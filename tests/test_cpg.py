@@ -60,6 +60,43 @@ def test_cpg_pipeline_end_to_end():
     assert oracle.rel_error(res.ans, ref) < 1e-12
 
 
+@pytest.mark.parametrize("sub", [512, 1024])
+def test_cpg_wide_sub_l2_int16(sub):
+    """sub > 256 needs int16 l2 tiles: staging-sublane indices range over
+    [0, sub), past uint8.  Regression for the silent-truncation bug found
+    while calibrating the power-law sub=512 pack (round 2)."""
+    g = GRAPHS["multichunk"]()
+    cg = pack_cpg(g, sub=sub)
+    assert all(np.asarray(lv["l2"]).dtype == np.int16 for lv in cg.levels)
+    rng = np.random.default_rng(0)
+    xr = rng.standard_normal(g.n)
+    x = jnp.asarray(cg.permute_in(xr, np.float64))
+    got = cg.permute_out(np.asarray(spmv_cpg(cg, x, interpret=True)))
+    want = g.to_scipy() @ xr
+    np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-11)
+
+
+def test_native_level_builder_wide_sub_matches_numpy():
+    """Native and numpy level builders agree at sub=512 (int16 l2)."""
+    from tpu_lanczos.graphs import native
+    from tpu_lanczos.kernels import cpg
+
+    if not native.available():
+        pytest.skip("native core unavailable")
+    rng = np.random.default_rng(1)
+    sub = 512
+    span = sub * 128 * 3
+    src = rng.integers(0, span, 50000)
+    dst = rng.integers(0, span, 50000)
+    lv_nat = cpg._build_cpg_level(src, dst, sub)
+    lv_np = cpg._build_cpg_level_np(src, dst, sub)
+    assert lv_nat.l2.dtype == np.int16 == lv_np.l2.dtype
+    np.testing.assert_array_equal(lv_nat.s_ids, lv_np.s_ids)
+    np.testing.assert_array_equal(lv_nat.d_ids, lv_np.d_ids)
+    np.testing.assert_array_equal(lv_nat.l1, lv_np.l1)
+    np.testing.assert_array_equal(lv_nat.l2, lv_np.l2)
+
+
 def test_cpg_lane127_invariant():
     """Lane 127 of every sublane is structurally zero (ghost target)."""
     g = GRAPHS["uniform"]()

@@ -148,7 +148,7 @@ def pack_cpg_sharded(
         t_loc = _round_up(max(t_loc, 1), 256)
 
         L1 = np.full((n_shards, t_loc * sub, LANE), LANE - 1, dtype=np.int8)
-        L2 = np.zeros((n_shards, t_loc * LANE, sub), dtype=np.uint8)
+        L2 = np.zeros((n_shards, t_loc * LANE, sub), dtype=l2.dtype)
         S = np.zeros((n_shards, t_loc), dtype=np.int32)
         R = np.zeros((n_shards, t_loc), dtype=np.int32)
         ST = np.zeros((n_shards, c_loc), dtype=np.int32)

@@ -92,7 +92,9 @@ def run_one(cfg, k=50, reps=3, cache_dir=".bench_cache"):
     # k-sweeps and re-runs reuse it; pack_s is reported from the original
     # uncached pack (recorded beside the cache)
     os.makedirs(cache_dir, exist_ok=True)
-    cpath = os.path.join(cache_dir, f"suite_{cfg['name']}_cpg.npz")
+    from tpu_lanczos.kernels.cpg import PACK_VERSION
+
+    cpath = os.path.join(cache_dir, f"suite_{cfg['name']}_cpg_v{PACK_VERSION}.npz")
     dg = None
     t_pack = None
     if os.path.exists(cpath) and jax.default_backend() not in ("cpu", "gpu"):

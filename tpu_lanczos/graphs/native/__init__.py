@@ -223,7 +223,8 @@ def cpg_build_level(src_pos: np.ndarray, dst_pos: np.ndarray, sub: int):
     try:
         t = lib.gc_cpgl_tiles(h)
         l1 = np.empty((t * sub, 128), dtype=np.int8)
-        l2 = np.empty((t * 128, sub), dtype=np.uint8)
+        l2 = np.empty((t * 128, sub),
+                      dtype=np.uint8 if sub <= 256 else np.int16)
         s_ids = np.empty(t, dtype=np.int32)
         d_ids = np.empty(t, dtype=np.int32)
         lib.gc_cpgl_fill(h, _ptr(l1), _ptr(l2), _ptr(s_ids), _ptr(d_ids))

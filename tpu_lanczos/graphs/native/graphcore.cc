@@ -543,7 +543,9 @@ struct CPGLevelHandle {
   int64_t sub = 0;
   int64_t tiles = 0;
   std::vector<int8_t> l1;    // (T*sub, 128)
-  std::vector<uint8_t> l2;   // (T*128, sub)
+  // (T*128, sub) raw bytes; element width 1 (uint8) when sub <= 256,
+  // else 2 (int16) — ss values range over [0, sub)
+  std::vector<uint8_t> l2;
   std::vector<int32_t> s_ids;  // (T,)
   std::vector<int32_t> d_ids;  // (T,)
 };
@@ -660,7 +662,9 @@ extern "C" void *gc_cpg_build_level(int64_t n_entries, int64_t sub,
     bits[static_cast<size_t>(col * words + ss[e] / 64)] |=
         1ull << (ss[e] % 64);
   }
-  h->l2.resize(static_cast<size_t>(T) * LANE * sub);
+  const bool wide = sub > 256;  // int16 elements past the uint8 range
+  h->l2.resize(static_cast<size_t>(T) * LANE * sub * (wide ? 2 : 1));
+  int16_t *l2w = reinterpret_cast<int16_t *>(h->l2.data());
   for (int64_t col = 0; col < T * LANE; ++col) {
     int64_t ff = sub - 1;  // fully-staged columns have no ghost dest cells
     for (int64_t w = 0; w < words; ++w) {
@@ -670,13 +674,23 @@ extern "C" void *gc_cpg_build_level(int64_t n_entries, int64_t sub,
         if (c < sub) { ff = c; break; }
       }
     }
-    std::memset(&h->l2[static_cast<size_t>(col * sub)],
-                static_cast<int>(ff), static_cast<size_t>(sub));
+    if (wide) {
+      std::fill(l2w + col * sub, l2w + (col + 1) * sub,
+                static_cast<int16_t>(ff));
+    } else {
+      std::memset(&h->l2[static_cast<size_t>(col * sub)],
+                  static_cast<int>(ff), static_cast<size_t>(sub));
+    }
   }
   for (int64_t e = 0; e < E; ++e) {
     const int64_t col = static_cast<int64_t>(tile_of[e]) * LANE + ld[e];
-    h->l2[static_cast<size_t>(col * sub + rd[e])] =
-        static_cast<uint8_t>(ss[e]);
+    if (wide) {
+      l2w[static_cast<size_t>(col * sub + rd[e])] =
+          static_cast<int16_t>(ss[e]);
+    } else {
+      h->l2[static_cast<size_t>(col * sub + rd[e])] =
+          static_cast<uint8_t>(ss[e]);
+    }
   }
   lap("fills");
   return h;
@@ -685,11 +699,11 @@ extern "C" void *gc_cpg_build_level(int64_t n_entries, int64_t sub,
 extern "C" int64_t gc_cpgl_tiles(void *h) {
   return static_cast<CPGLevelHandle *>(h)->tiles;
 }
-extern "C" void gc_cpgl_fill(void *hh, int8_t *l1, uint8_t *l2,
+extern "C" void gc_cpgl_fill(void *hh, int8_t *l1, void *l2,
                              int32_t *s_ids, int32_t *d_ids) {
   auto *h = static_cast<CPGLevelHandle *>(hh);
   std::memcpy(l1, h->l1.data(), h->l1.size());
-  std::memcpy(l2, h->l2.data(), h->l2.size());
+  std::memcpy(l2, h->l2.data(), h->l2.size());  // size() is already bytes
   std::memcpy(s_ids, h->s_ids.data(), h->s_ids.size() * sizeof(int32_t));
   std::memcpy(d_ids, h->d_ids.data(), h->d_ids.size() * sizeof(int32_t));
 }

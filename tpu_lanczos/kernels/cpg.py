@@ -47,6 +47,9 @@ from tpu_lanczos.utils import HostArray
 
 LANE = 128
 REAL_LANES = 127           # lane 127 is the structural zero lane
+# bump when pack output changes (cache files embed this in their name so
+# stale packs from older packer versions are not silently reused)
+PACK_VERSION = 2
 # Chunk height (sublanes per chunk) is a pack-time parameter ``sub``:
 # bigger chunks make (S, D) blocks denser (entries scale with sub^2,
 # cells with sub), cutting the per-block tier maxima that set tile count;
@@ -59,12 +62,21 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _l2_dtype(sub: int):
+    """l2 holds staging-sublane indices in [0, sub): uint8 overflows past
+    sub=256, so wider chunks carry int16 index tiles (2x the l2 DMA
+    bytes, still small next to the f32 source-chunk traffic)."""
+    return np.uint8 if sub <= 256 else np.int16
+
+
 @dataclasses.dataclass(frozen=True)
 class _CPGLevel:
     """One delivery pass: flattened tile list sorted by (D, S, tier)."""
 
-    l1: np.ndarray      # (T*sub, 128) int8   — source lane per staging cell
-    l2: np.ndarray      # (T*128, sub) uint8  — staging sublane per dest cell
+    l1: np.ndarray      # (T*sub, 128) int8 — source lane per staging cell
+    # (T*128, sub) — staging sublane per dest cell; uint8 for sub <= 256,
+    # int16 beyond (values range over [0, sub))
+    l2: np.ndarray
     s_ids: np.ndarray   # (T,) int32 — source chunk of each tile
     d_ids: np.ndarray   # (T,) int32 — dest chunk of each tile
 
@@ -254,8 +266,9 @@ def _build_cpg_level_np(src_pos: np.ndarray, dst_pos: np.ndarray, sub: int):
     # clamp so the unused default stays in range
     first_free = np.minimum(first_free, sub - 1)
 
-    l2 = np.repeat(first_free[:, None], sub, axis=1).astype(np.uint8)
-    l2[col, rd] = ss.astype(np.uint8)
+    dt2 = _l2_dtype(sub)
+    l2 = np.repeat(first_free[:, None], sub, axis=1).astype(dt2)
+    l2[col, rd] = ss.astype(dt2)
     return _CPGLevel(l1=l1, l2=l2, s_ids=s_ids, d_ids=d_ids)
 
 
@@ -581,7 +594,7 @@ def _finalize(graph, n, n_units, theta, sub, pos_of, levels,
         )
         l1 = np.full((T_pad * sub, LANE), LANE - 1, dtype=np.int8)
         l1[: T * sub] = lv.l1
-        l2 = np.zeros((T_pad * LANE, sub), dtype=np.uint8)
+        l2 = np.zeros((T_pad * LANE, sub), dtype=_l2_dtype(sub))
         l2[: T * LANE] = lv.l2
         ids_pad = np.zeros(T_pad, dtype=np.int32)
         s_ids = ids_pad.copy()

@@ -33,11 +33,12 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_lanczos.kernels.cpg import CPGGraph, LANE
 
 
-def _pick_unroll(avg_tiles_per_chunk: float, sub: int, resident_x: bool) -> int:
+def _pick_unroll(avg_tiles_per_chunk: float, sub: int, resident_x: bool,
+                 l2_bytes: int = 1) -> int:
     """Tiles per loop iteration (independent chains -> VPU ILP).  High
     unroll only pays when chunks carry many tiles; with few tiles the
     clamped-duplicate padding would dominate (mesh graphs).  Capped so the
-    2U DMA slots (sub*128*6 bytes each: int8 l1 + uint8 l2 + f32 xs) plus
+    2U DMA slots (sub*128*(5+l2_bytes) each: int8 l1 + l2 + f32 xs) plus
     the resident x and output block stay inside ~16MB VMEM."""
     if avg_tiles_per_chunk >= 96:
         u = 16
@@ -48,7 +49,7 @@ def _pick_unroll(avg_tiles_per_chunk: float, sub: int, resident_x: bool) -> int:
     else:
         u = 1
     budget = 7 * 1024 * 1024 if not resident_x else 6_800_000
-    u_vmem = max(budget // (2 * sub * LANE * 6), 1)
+    u_vmem = max(budget // (2 * sub * LANE * (5 + l2_bytes)), 1)
     while u > u_vmem:
         u //= 2
     return max(u, 1)
@@ -203,8 +204,10 @@ _RESIDENT_X_LIMIT = 8 * 1024 * 1024
 def _run_level(x2d, level, n_chunks, sub, interpret, compensated=False,
                vma=None):
     resident_x = x2d.size * x2d.dtype.itemsize <= _RESIDENT_X_LIMIT
+    l2_dtype = level["l2"].dtype
     U = _pick_unroll(
-        level["s_ids"].shape[0] / max(n_chunks, 1), sub, resident_x
+        level["s_ids"].shape[0] / max(n_chunks, 1), sub, resident_x,
+        l2_bytes=l2_dtype.itemsize,
     )
     out_block = pl.BlockSpec(
         (LANE, sub), lambda d, *_: (d, 0), memory_space=pltpu.VMEM
@@ -228,7 +231,7 @@ def _run_level(x2d, level, n_chunks, sub, interpret, compensated=False,
             out_specs=(out_block, out_block) if compensated else out_block,
             scratch_shapes=[
                 pltpu.VMEM((2 * U, sub, LANE), jnp.int8),
-                pltpu.VMEM((2 * U, LANE, sub), jnp.uint8),
+                pltpu.VMEM((2 * U, LANE, sub), l2_dtype),
                 pltpu.VMEM((2 * U, sub, LANE), x2d.dtype),
                 pltpu.SemaphoreType.DMA((2 * U, 3)),
             ],

@@ -153,3 +153,35 @@ def test_lowmem_two_pass_matches_stored_q():
     np.testing.assert_allclose(
         low_ls.full_ans(), ref.ans, rtol=1e-9, atol=1e-9
     )
+
+
+def test_expm_action_summary_matches_full():
+    """On-device top-k summary agrees with the full pipeline's answer
+    (same top nodes, same values, same norm) without the O(n) D2H."""
+    from tpu_lanczos.core.pipeline import expm_action_summary
+
+    g = generators.barabasi_albert(3000, 6, seed=11, use_native=False)
+    full = expm_action(g, k=30, dtype="float32", log_scale=True)
+    s = expm_action_summary(g, k=30, topk=10, dtype="float32", fmt="auto")
+    order = np.argsort(full.ans)[::-1][:10]
+    assert set(s.top_nodes.tolist()) == set(order.tolist())
+    np.testing.assert_allclose(
+        np.sort(s.top_values), np.sort(full.ans[order]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        s.ans_norm, np.linalg.norm(full.ans), rtol=1e-5
+    )
+    assert abs(s.log_scale - full.log_scale) < 1e-5
+
+
+def test_expm_action_summary_cpg_permuted():
+    """Summary top-node mapping is correct under CPG's permuted layout."""
+    from tpu_lanczos.core.pipeline import expm_action_summary
+
+    g = generators.barabasi_albert(3000, 6, seed=11, use_native=False)
+    full = expm_action(g, k=30, dtype="float32", log_scale=True,
+                       fmt="cpg", spmv_impl="interpret")
+    s = expm_action_summary(g, k=30, topk=10, dtype="float32", fmt="cpg",
+                            spmv_impl="interpret")
+    order = np.argsort(full.ans)[::-1][:10]
+    assert set(s.top_nodes.tolist()) == set(order.tolist())

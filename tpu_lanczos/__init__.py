@@ -24,9 +24,11 @@ from tpu_lanczos.graphs import io as graph_io
 from tpu_lanczos.graphs import generators
 from tpu_lanczos.core.pipeline import (
     expm_action,
+    expm_action_summary,
     run_config,
     best_device_pack,
     LanczosResult,
+    SummaryResult,
 )
 from tpu_lanczos.config import Config
 
@@ -37,6 +39,8 @@ __all__ = [
     "graph_io",
     "generators",
     "expm_action",
+    "expm_action_summary",
+    "SummaryResult",
     "run_config",
     "best_device_pack",
     "LanczosResult",

@@ -46,6 +46,96 @@ class LanczosResult:
         return self.ans * np.exp(self.log_scale)
 
 
+@dataclasses.dataclass
+class SummaryResult:
+    """On-device-reduced pipeline output: only O(topk) scalars ever cross
+    device->host.  The reference's check_ans consumes exactly this
+    summary (max element + index + norms, parallel-final/check_ans.cu);
+    transferring the full n-vector is only needed for --write-ans."""
+
+    top_values: np.ndarray  # (topk,) largest entries of e^A.x (scaled)
+    top_nodes: np.ndarray   # (topk,) their original vertex ids
+    ans_norm: float         # ||ans_scaled||_2
+    log_scale: float        # true ans = scaled * exp(log_scale)
+    alpha: np.ndarray
+    beta: np.ndarray
+    x_norm: float
+    k: int
+
+
+@partial(jax.jit, static_argnames=("topk",))
+def _summary_gemv(tmp, q_basis, mask, topk: int):
+    ans = tmp @ q_basis
+    nrm = jnp.linalg.norm(ans)
+    neg = jnp.asarray(jnp.finfo(ans.dtype).min, ans.dtype)
+    vals, idx = jax.lax.top_k(jnp.where(mask > 0, ans, neg), topk)
+    return nrm, vals, idx
+
+
+def expm_action_summary(
+    graph: CSRGraph,
+    x: np.ndarray | None = None,
+    k: int = 50,
+    topk: int = 20,
+    *,
+    dtype: str | jnp.dtype = "float32",
+    fmt: str = "best",
+    spmv_impl: str = "auto",
+    dg: DeviceGraph | None = None,
+) -> SummaryResult:
+    """Pipeline variant that reduces the answer ON DEVICE to its top-k
+    entries + norm, so the device->host transfer is O(topk) instead of
+    O(n).  Serving-style output: the highest-centrality vertices under
+    the e^A.1 exponential-centrality measure (the quantity the
+    reference's check_ans reports, check_ans.cu max/idx metrics)."""
+    k = int(min(k, graph.n - 1))
+    if dg is None:
+        if fmt == "best":
+            dg = best_device_pack(graph)
+        elif fmt == "cpg":
+            from tpu_lanczos.kernels.cpg import pack_cpg
+
+            dg = pack_cpg(graph)
+        else:
+            dg = pack(graph, fmt=fmt)
+    dtype = jnp.dtype(dtype)
+    x_host = np.ones(graph.n) if x is None else np.asarray(x)
+    x_dev = jnp.asarray(dg.permute_in(x_host, dtype))
+    mask = getattr(dg, "realmask", None)
+    if mask is None:
+        mask = jnp.asarray(dg.permute_in(np.ones(graph.n), np.float32))
+
+    state = lanczos(dg, x_dev, k, spmv_impl=spmv_impl)
+    from tpu_lanczos.core import tridiag
+
+    evals, evecs = tridiag.eigh_host(
+        np.asarray(state.alpha), np.asarray(state.beta)
+    )
+    tmp, shift = expmv.coefficients(evals, evecs, float(state.x_norm), xp=np)
+    nrm, vals, idx = _summary_gemv(
+        jnp.asarray(tmp.astype(dtype)), state.q_basis, mask, topk
+    )
+    # tiny D2H: topk values + indices + one norm
+    idx_h = np.asarray(idx)
+    noo = getattr(dg, "new_of_old", None)
+    if noo is None:  # identity-laid-out XLA formats (rows 0..n-1)
+        top_nodes = idx_h.astype(np.int64)
+    else:
+        old_of_new = np.full(dg.n_pad, -1, dtype=np.int64)
+        old_of_new[noo] = np.arange(graph.n)
+        top_nodes = old_of_new[idx_h]
+    return SummaryResult(
+        top_values=np.asarray(vals),
+        top_nodes=top_nodes,
+        ans_norm=float(nrm),
+        log_scale=float(shift),
+        alpha=np.asarray(state.alpha),
+        beta=np.asarray(state.beta)[: k - 1],
+        x_norm=float(state.x_norm),
+        k=k,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=("k", "reorthogonalize", "spmv_impl", "log_scale"),

@@ -47,12 +47,12 @@ CONFIGS = [
     dict(name="rmat_4M_e35M", kind="rmat", n=4_000_000, e=34_700_000,
          analog="com-LiveJournal n=4.0M nnz=69M (social; R-MAT carries "
                 "the real graph's skew + community structure)",
-         ref_s=1.3245, ref_s_k100=2.5756),
+         ref_s=1.3245, ref_s_k100=2.5756, pack=dict(sub=512)),
     dict(name="ba_4M_m9", kind="barabasi", n=4_000_000, m=9,
          analog="com-LiveJournal scale, pure preferential-attachment "
                 "expander (no community structure: adversarial stress "
                 "case, strictly harder than the real graph)",
-         ref_s=1.3245, ref_s_k100=2.5756),
+         ref_s=1.3245, ref_s_k100=2.5756, pack=dict(sub=512)),
 ]
 
 HBM_GBPS = 819.0  # v5e
@@ -94,7 +94,11 @@ def run_one(cfg, k=50, reps=3, cache_dir=".bench_cache"):
     os.makedirs(cache_dir, exist_ok=True)
     from tpu_lanczos.kernels.cpg import PACK_VERSION
 
-    cpath = os.path.join(cache_dir, f"suite_{cfg['name']}_cpg_v{PACK_VERSION}.npz")
+    pack_kw = cfg.get("pack") or {}
+    tag = "".join(f"_{k}{v}" for k, v in sorted(pack_kw.items()))
+    cpath = os.path.join(
+        cache_dir, f"suite_{cfg['name']}_cpg_v{PACK_VERSION}{tag}.npz"
+    )
     dg = None
     t_pack = None
     if os.path.exists(cpath) and jax.default_backend() not in ("cpu", "gpu"):
@@ -107,7 +111,12 @@ def run_one(cfg, k=50, reps=3, cache_dir=".bench_cache"):
         except Exception:
             dg = None
     if dg is None:
-        dg = best_device_pack(g)
+        if pack_kw and jax.default_backend() not in ("cpu", "gpu"):
+            from tpu_lanczos.kernels.cpg import pack_cpg
+
+            dg = pack_cpg(g, **pack_kw)
+        else:
+            dg = best_device_pack(g)
         t_pack = time.time() - t0
         if type(dg).__name__ == "CPGGraph":
             try:

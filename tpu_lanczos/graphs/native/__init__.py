@@ -89,7 +89,7 @@ def _load():
         lib.gc_gpg_color.argtypes = [c_i64, c_i64, c_i64,
                                      c_p, c_p, c_p, c_p, c_p]
         lib.gc_cpg_build_level.restype = c_p
-        lib.gc_cpg_build_level.argtypes = [c_i64, c_i64, c_p, c_p]
+        lib.gc_cpg_build_level.argtypes = [c_i64, c_i64, c_i64, c_p, c_p]
         lib.gc_cpgl_tiles.restype = c_i64
         lib.gc_cpgl_tiles.argtypes = [c_p]
         lib.gc_cpgl_fill.restype = None
@@ -208,23 +208,28 @@ def compact(keys: np.ndarray, return_unique: bool = False):
     return ranks
 
 
-def cpg_build_level(src_pos: np.ndarray, dst_pos: np.ndarray, sub: int):
+def cpg_build_level(src_pos: np.ndarray, dst_pos: np.ndarray, sub: int,
+                    slab: bool = False):
     """Native CPG level builder (full port of cpg.py _build_cpg_level's
     hot path: compaction, Konig tiers, tile numbering, l1/l2 fill with
-    ghost-dest mex).  Returns (l1, l2, s_ids, d_ids) numpy arrays."""
+    ghost-dest mex; ``slab=True`` builds source-slab-pure tiles with
+    uint8 ghost-bit l2).  Returns (l1, l2, s_ids, d_ids) numpy arrays."""
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native core unavailable: {_build_error}")
     sp = np.ascontiguousarray(src_pos, dtype=np.int64)
     dp = np.ascontiguousarray(dst_pos, dtype=np.int64)
-    h = lib.gc_cpg_build_level(sp.size, sub, _ptr(sp), _ptr(dp))
+    h = lib.gc_cpg_build_level(sp.size, sub, int(slab), _ptr(sp), _ptr(dp))
     if not h:
         raise RuntimeError("gc_cpg_build_level failed")
     try:
         t = lib.gc_cpgl_tiles(h)
-        l1 = np.empty((t * sub, 128), dtype=np.int8)
-        l2 = np.empty((t * 128, sub),
-                      dtype=np.uint8 if sub <= 256 else np.int16)
+        rows = 128 if slab else sub
+        l1 = np.empty((t * rows, 128), dtype=np.int8)
+        l2 = np.empty(
+            (t * 128, sub),
+            dtype=np.uint8 if (slab or sub <= 256) else np.int16,
+        )
         s_ids = np.empty(t, dtype=np.int32)
         d_ids = np.empty(t, dtype=np.int32)
         lib.gc_cpgl_fill(h, _ptr(l1), _ptr(l2), _ptr(s_ids), _ptr(d_ids))

@@ -100,20 +100,27 @@ class CPGGraph:
     # [0, n_bcast) write into x before the main level runs.  See
     # pack_cpg(theta_s=...).
     n_bcast: int = 0
+    # "classic": tiles span a full (sub, 128) source chunk; the kernel's
+    # second gather needs (sub/128)^2 slab-select units per tile (cost
+    # quadratic in sub).  "slab": tiles are source-slab-pure — one
+    # (128, 128) source slab each — so the second gather is sub/128
+    # mask-selected slab gathers (linear in sub), l2 stays uint8 at any
+    # sub, and ghost cells carry an explicit bit instead of the mex fill.
+    layout: str = "classic"
 
     def tree_flatten(self):
         return (self.levels, self.realmask), (
             self.n, self.n_chunks, self.nnz, self.theta, self.sub,
-            HostArray(self.new_of_old), self.n_bcast,
+            HostArray(self.new_of_old), self.n_bcast, self.layout,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        n, n_chunks, nnz, theta, sub, new_of_old, n_bcast = aux
+        n, n_chunks, nnz, theta, sub, new_of_old, n_bcast, layout = aux
         levels, realmask = leaves
         return cls(n=n, n_chunks=n_chunks, nnz=nnz, theta=theta, sub=sub,
                    levels=levels, realmask=realmask, new_of_old=new_of_old.a,
-                   n_bcast=n_bcast)
+                   n_bcast=n_bcast, layout=layout)
 
     @property
     def n_pad(self) -> int:
@@ -125,7 +132,10 @@ class CPGGraph:
 
     @property
     def total_tiles(self) -> int:
-        return sum(int(lv["s_ids"].shape[0]) for lv in self.levels)
+        # real tiles only: the s_ids arrays are bucket-padded for compile
+        # caching, but padded tiles are outside every chunk's [start,
+        # count) range and never execute
+        return sum(int(jnp.sum(lv["counts"])) for lv in self.levels)
 
     @property
     def fill(self) -> float:
@@ -272,6 +282,63 @@ def _build_cpg_level_np(src_pos: np.ndarray, dst_pos: np.ndarray, sub: int):
     return _CPGLevel(l1=l1, l2=l2, s_ids=s_ids, d_ids=d_ids)
 
 
+def _build_cpg_level_slab(src_pos: np.ndarray, dst_pos: np.ndarray,
+                          sub: int) -> _CPGLevel:
+    """Source-slab-pure level builder (layout="slab").
+
+    Each tile reads ONE (128, 128) source slab: block key = (dest chunk,
+    global source slab).  l1 is (T*128, 128) int8 (staging sublane =
+    source sublane within the slab), l2 is (T*128, sub) uint8 whose high
+    bit flags ghost dest cells (the kernel masks them to zero — no mex
+    fill needed, and l2 stays uint8 at any ``sub``)."""
+    try:
+        from tpu_lanczos.graphs import native
+
+        if native.available():
+            l1, l2, s_ids, d_ids = native.cpg_build_level(
+                src_pos, dst_pos, sub, slab=True
+            )
+            return _CPGLevel(l1=l1, l2=l2, s_ids=s_ids, d_ids=d_ids)
+    except Exception:
+        pass
+    return _build_cpg_level_slab_np(src_pos, dst_pos, sub)
+
+
+def _build_cpg_level_slab_np(src_pos: np.ndarray, dst_pos: np.ndarray,
+                             sub: int) -> _CPGLevel:
+    """Numpy reference implementation of the slab-pure level builder."""
+    n_slab = sub // LANE
+    s_chunk = src_pos // (sub * LANE)
+    ss = (src_pos // LANE) % sub
+    ssl = ss % LANE                      # sublane within slab
+    slab_g = s_chunk * n_slab + ss // LANE  # global source slab id
+    sl = src_pos % LANE
+    d_chunk = dst_pos // (sub * LANE)
+    rd = (dst_pos // LANE) % sub
+    ld = dst_pos % LANE
+
+    block = d_chunk * np.int64(1 << 32) + slab_g
+    a_key = block * (LANE * LANE) + ssl * LANE + ld    # staging pair
+    b_key = block * (sub * LANE) + rd * LANE + ld      # dest cell
+    a_c = _compact(a_key)
+    b_c = _compact(b_key)
+    tier = _assign_tiers(a_c, b_c)
+
+    tier_mult = int(tier.max()) + 1 if tier.size else 1
+    tkey = block * tier_mult + tier
+    tile_of, uniq_t = _compact(tkey, return_unique=True)
+    T = uniq_t.size
+    blocks = uniq_t // tier_mult
+    d_ids = (blocks // (1 << 32)).astype(np.int32)
+    s_ids = (blocks % (1 << 32)).astype(np.int32)      # global slab ids
+
+    l1 = np.full((T * LANE, LANE), LANE - 1, dtype=np.int8)
+    l1[tile_of * LANE + ssl, ld] = sl.astype(np.int8)
+    l2 = np.full((T * LANE, sub), 255, dtype=np.uint8)  # bit7 = ghost
+    l2[tile_of * LANE + ld, rd] = ssl.astype(np.uint8)
+    return _CPGLevel(l1=l1, l2=l2, s_ids=s_ids, d_ids=d_ids)
+
+
 def _level_ranges(d_ids: np.ndarray, n_chunks: int):
     """Per-dest-chunk [start, count) over the d-major-sorted tile list."""
     counts = np.bincount(d_ids, minlength=n_chunks).astype(np.int32)
@@ -297,6 +364,7 @@ def save_cpg(cg: CPGGraph, path: str) -> None:
         n=cg.n, n_chunks=cg.n_chunks, nnz=cg.nnz, theta=cg.theta,
         sub=cg.sub, n_levels=len(cg.levels), new_of_old=cg.new_of_old,
         realmask=np.asarray(cg.realmask), n_bcast=cg.n_bcast,
+        layout=cg.layout,
     )
     for i, lv in enumerate(cg.levels):
         for k in ("l1", "l2", "s_ids", "d_ids", "run_ids", "starts", "counts"):
@@ -326,6 +394,7 @@ def load_cpg(path: str) -> CPGGraph:
         levels=levels,
         realmask=jnp.asarray(z["realmask"]), new_of_old=z["new_of_old"],
         n_bcast=int(z["n_bcast"]) if "n_bcast" in z else 0,
+        layout=str(z["layout"]) if "layout" in z else "classic",
     )
 
 
@@ -370,6 +439,7 @@ def pack_cpg(
     order: str = "auto",
     theta_s: int | str | None = "auto",
     redeal: bool | None = None,
+    layout: str = "auto",
 ) -> CPGGraph:
     """Pack a host CSR graph into the CPG device format.
 
@@ -412,16 +482,24 @@ def pack_cpg(
     if redeal is None:
         redeal = order == "degree"
 
+    if layout == "auto":
+        # classic until the slab variant's win is measured per class;
+        # suite configs opt in explicitly (slab removes the classic
+        # second gather's (sub/128)^2 cost but can split near-diagonal
+        # mesh blocks into more tiles)
+        layout = "classic"
+
     rows = graph.row_ids().astype(np.int64)
     cols = graph.indices.astype(np.int64)
 
     if theta_s is None and not redeal:
-        return _pack_legacy(graph, rows, cols, n, theta, sub, order)
+        return _pack_legacy(graph, rows, cols, n, theta, sub, order, layout)
     return _pack_split(graph, rows, cols, n, theta, int(theta_s or 0),
-                       sub, order, redeal)
+                       sub, order, redeal, layout)
 
 
-def _pack_legacy(graph, rows, cols, n, theta, sub, order) -> CPGGraph:
+def _pack_legacy(graph, rows, cols, n, theta, sub, order,
+                 layout="classic") -> CPGGraph:
     """Original pack path: dest-only split, global dealing (meshes)."""
     unit, n_units, parents0 = _split_rows(rows, cols, n, theta)
 
@@ -457,15 +535,17 @@ def _pack_legacy(graph, rows, cols, n, theta, sub, order) -> CPGGraph:
         rank[srt] = np.arange(n_units)
     pos_of = _pos_of_unit(rank, sub)
 
+    build = _build_cpg_level_slab if layout == "slab" else _build_cpg_level
     levels = []
-    levels.append(_build_cpg_level(pos_of[cols], pos_of[unit], sub))
+    levels.append(build(pos_of[cols], pos_of[unit], sub))
     for s_arr, d_arr in reduce_edges:
-        levels.append(_build_cpg_level(pos_of[s_arr], pos_of[d_arr], sub))
-    return _finalize(graph, n, n_units, theta, sub, pos_of, levels, n_bcast=0)
+        levels.append(build(pos_of[s_arr], pos_of[d_arr], sub))
+    return _finalize(graph, n, n_units, theta, sub, pos_of, levels,
+                     n_bcast=0, layout=layout)
 
 
 def _pack_split(graph, rows, cols, n, theta, theta_s, sub, order,
-                redeal) -> CPGGraph:
+                redeal, layout="classic") -> CPGGraph:
     """Source-split + (optionally) block-aware-redeal pack path.
 
     Unit id space layout: [0, n) real rows, then dest virtual rows
@@ -554,20 +634,21 @@ def _pack_split(graph, rows, cols, n, theta, theta_s, sub, order,
     else:
         sunit = cols
 
+    build = _build_cpg_level_slab if layout == "slab" else _build_cpg_level
     levels = []
     n_bcast = 0
     if n_copies:
-        levels.append(_build_cpg_level(pos_of[bc_src], pos_of[bc_dst], sub))
+        levels.append(build(pos_of[bc_src], pos_of[bc_dst], sub))
         n_bcast = 1
-    levels.append(_build_cpg_level(pos_of[sunit], pos_of[dunit], sub))
+    levels.append(build(pos_of[sunit], pos_of[dunit], sub))
     for s_arr, d_arr in reduce_edges:
-        levels.append(_build_cpg_level(pos_of[s_arr], pos_of[d_arr], sub))
+        levels.append(build(pos_of[s_arr], pos_of[d_arr], sub))
     return _finalize(graph, n, n_units, theta, sub, pos_of, levels,
-                     n_bcast=n_bcast)
+                     n_bcast=n_bcast, layout=layout)
 
 
 def _finalize(graph, n, n_units, theta, sub, pos_of, levels,
-              n_bcast) -> CPGGraph:
+              n_bcast, layout="classic") -> CPGGraph:
     """Shared tail: chunk bucketing, realmask, device arrays, padding."""
     n_chunks = max(int(np.ceil(n_units / (sub * REAL_LANES))), 1)
     # bucket the chunk count as well (the grid size is part of the
@@ -592,9 +673,13 @@ def _finalize(graph, n, n_units, theta, sub, pos_of, levels,
             max(T, 1),
             max(256, 1 << max((max(T, 1) - 1).bit_length() - 2, 0)),
         )
-        l1 = np.full((T_pad * sub, LANE), LANE - 1, dtype=np.int8)
-        l1[: T * sub] = lv.l1
-        l2 = np.zeros((T_pad * LANE, sub), dtype=_l2_dtype(sub))
+        rows = LANE if layout == "slab" else sub
+        l1 = np.full((T_pad * rows, LANE), LANE - 1, dtype=np.int8)
+        l1[: T * rows] = lv.l1
+        if layout == "slab":
+            l2 = np.full((T_pad * LANE, sub), 255, dtype=np.uint8)
+        else:
+            l2 = np.zeros((T_pad * LANE, sub), dtype=_l2_dtype(sub))
         l2[: T * LANE] = lv.l2
         ids_pad = np.zeros(T_pad, dtype=np.int32)
         s_ids = ids_pad.copy()
@@ -616,5 +701,5 @@ def _finalize(graph, n, n_units, theta, sub, pos_of, levels,
     return CPGGraph(
         n=n, n_chunks=n_chunks, nnz=graph.nnz, theta=theta, sub=sub,
         levels=dev_levels, realmask=jnp.asarray(realmask),
-        new_of_old=new_of_old, n_bcast=n_bcast,
+        new_of_old=new_of_old, n_bcast=n_bcast, layout=layout,
     )

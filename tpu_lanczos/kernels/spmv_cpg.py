@@ -33,13 +33,13 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_lanczos.kernels.cpg import CPGGraph, LANE
 
 
-def _pick_unroll(avg_tiles_per_chunk: float, sub: int, resident_x: bool,
-                 l2_bytes: int = 1) -> int:
+def _pick_unroll(avg_tiles_per_chunk: float, slot_bytes: int,
+                 resident_x: bool) -> int:
     """Tiles per loop iteration (independent chains -> VPU ILP).  High
     unroll only pays when chunks carry many tiles; with few tiles the
-    clamped-duplicate padding would dominate (mesh graphs).  Capped so the
-    2U DMA slots (sub*128*(5+l2_bytes) each: int8 l1 + l2 + f32 xs) plus
-    the resident x and output block stay inside ~16MB VMEM."""
+    clamped-duplicate padding would dominate (mesh graphs).  Capped so
+    the 2U DMA slots (l1 + l2 + xs, ``slot_bytes`` each) plus the
+    resident x and output block stay inside ~16MB VMEM."""
     if avg_tiles_per_chunk >= 96:
         u = 16
     elif avg_tiles_per_chunk >= 24:
@@ -49,14 +49,18 @@ def _pick_unroll(avg_tiles_per_chunk: float, sub: int, resident_x: bool,
     else:
         u = 1
     budget = 7 * 1024 * 1024 if not resident_x else 6_800_000
-    u_vmem = max(budget // (2 * sub * LANE * (5 + l2_bytes)), 1)
+    u_vmem = max(budget // (2 * slot_bytes), 1)
     while u > u_vmem:
         u //= 2
     return max(u, 1)
 
 
-def _make_kernel(sub: int, resident_x: bool, U: int, compensated: bool = False):
+def _make_kernel(sub: int, resident_x: bool, U: int,
+                 compensated: bool = False, slab: bool = False):
     n_slab = sub // LANE
+    # slab layout: each tile reads one (128, 128) source slab (s_ids are
+    # global slab ids); l2's high bit flags ghost dest cells
+    rows = LANE if slab else sub
     n_buf = 2 * U  # double-buffered groups of U tiles
 
     def _kernel(starts, counts, s_ids, run_ids, l1_hbm, l2_hbm, x_ref,
@@ -85,7 +89,7 @@ def _make_kernel(sub: int, resident_x: bool, U: int, compensated: bool = False):
             t = clamp(i)
             return [
                 pltpu.make_async_copy(
-                    l1_hbm.at[pl.ds(t * sub, sub), :], l1_buf.at[slot],
+                    l1_hbm.at[pl.ds(t * rows, rows), :], l1_buf.at[slot],
                     sems.at[slot, 0],
                 ),
                 pltpu.make_async_copy(
@@ -98,7 +102,7 @@ def _make_kernel(sub: int, resident_x: bool, U: int, compensated: bool = False):
             t = clamp(i)
             s = s_ids[t]
             return pltpu.make_async_copy(
-                x_ref.at[pl.ds(s * sub, sub), :], xs_buf.at[slot],
+                x_ref.at[pl.ds(s * rows, rows), :], xs_buf.at[slot],
                 sems.at[slot, 2],
             )
 
@@ -126,29 +130,42 @@ def _make_kernel(sub: int, resident_x: bool, U: int, compensated: bool = False):
             by the caller's mask."""
             if resident_x:
                 s = s_ids[clamp(i)]
-                xs = x_ref[pl.ds(s * sub, sub), :]
+                xs = x_ref[pl.ds(s * rows, rows), :]
             else:
                 xs = xs_buf[xs_slot(i)]
             g1 = jnp.take_along_axis(
                 xs, l1_buf[slot].astype(jnp.int32), axis=1
             )
-            g2 = g1.T  # (128, sub)
+            g2 = g1.T  # (128, rows)
             l2 = l2_buf[slot].astype(jnp.int32)  # (128, sub)
+            if slab:
+                # one (128,128) source slab per tile: per output slab,
+                # gather on the low 7 bits and mask ghost cells (bit 7)
+                zero = jnp.zeros((LANE, LANE), x_ref.dtype)
+                slabs = []
+                for j in range(n_slab):
+                    idx = l2[:, j * LANE:(j + 1) * LANE]
+                    part = jnp.take_along_axis(g2, idx & (LANE - 1), axis=1)
+                    slabs.append(jnp.where(idx < LANE, part, zero))
+                if n_slab == 1:
+                    return slabs[0]
+                return jnp.concatenate(slabs, axis=1)  # (128, sub)
             if n_slab == 1:
                 return jnp.take_along_axis(g2, l2, axis=1)
             slabs = []
             for j in range(n_slab):  # output slabs along rd
                 idx = l2[:, j * LANE:(j + 1) * LANE]
+                # slab id + in-slab offset: the offset equals idx - si*128
+                # exactly where slab si is selected, so one shared gather
+                # index and one equality test per source slab suffice
+                q = idx >> 7
+                r = idx & (LANE - 1)
                 res = jnp.zeros((LANE, LANE), x_ref.dtype)
                 for si in range(n_slab):  # source slices along ss
-                    sl_idx = jnp.clip(idx - si * LANE, 0, LANE - 1)
                     part = jnp.take_along_axis(
-                        g2[:, si * LANE:(si + 1) * LANE], sl_idx, axis=1
+                        g2[:, si * LANE:(si + 1) * LANE], r, axis=1
                     )
-                    res = jnp.where(
-                        (idx >= si * LANE) & (idx < (si + 1) * LANE),
-                        part, res,
-                    )
+                    res = jnp.where(q == si, part, res)
                 slabs.append(res)
             return jnp.concatenate(slabs, axis=1)  # (128, sub)
 
@@ -202,12 +219,14 @@ _RESIDENT_X_LIMIT = 8 * 1024 * 1024
 
 
 def _run_level(x2d, level, n_chunks, sub, interpret, compensated=False,
-               vma=None):
+               vma=None, slab=False):
     resident_x = x2d.size * x2d.dtype.itemsize <= _RESIDENT_X_LIMIT
     l2_dtype = level["l2"].dtype
+    rows = LANE if slab else sub
+    slot_bytes = (rows * LANE * (1 + x2d.dtype.itemsize)
+                  + LANE * sub * l2_dtype.itemsize)
     U = _pick_unroll(
-        level["s_ids"].shape[0] / max(n_chunks, 1), sub, resident_x,
-        l2_bytes=l2_dtype.itemsize,
+        level["s_ids"].shape[0] / max(n_chunks, 1), slot_bytes, resident_x
     )
     out_block = pl.BlockSpec(
         (LANE, sub), lambda d, *_: (d, 0), memory_space=pltpu.VMEM
@@ -217,7 +236,8 @@ def _run_level(x2d, level, n_chunks, sub, interpret, compensated=False,
     out_sds = jax.ShapeDtypeStruct((n_chunks * LANE, sub), x2d.dtype,
                                    vma=vma)
     return pl.pallas_call(
-        _make_kernel(sub, resident_x, U, compensated=compensated),
+        _make_kernel(sub, resident_x, U, compensated=compensated,
+                     slab=slab),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,  # starts, counts, s_ids, run_ids
             grid=(n_chunks,),
@@ -230,9 +250,9 @@ def _run_level(x2d, level, n_chunks, sub, interpret, compensated=False,
             ],
             out_specs=(out_block, out_block) if compensated else out_block,
             scratch_shapes=[
-                pltpu.VMEM((2 * U, sub, LANE), jnp.int8),
+                pltpu.VMEM((2 * U, rows, LANE), jnp.int8),
                 pltpu.VMEM((2 * U, LANE, sub), l2_dtype),
-                pltpu.VMEM((2 * U, sub, LANE), x2d.dtype),
+                pltpu.VMEM((2 * U, rows, LANE), x2d.dtype),
                 pltpu.SemaphoreType.DMA((2 * U, 3)),
             ],
         ),
@@ -250,6 +270,7 @@ def spmv_cpg(cg: CPGGraph, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarr
     C = cg.n_chunks
     sub = cg.sub
     n_sub = cg.n_sub
+    slab = cg.layout == "slab"
     x2d = x.reshape(n_sub, LANE)
 
     def untranspose(yt):
@@ -260,11 +281,13 @@ def spmv_cpg(cg: CPGGraph, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarr
     for level in cg.levels[:nb]:
         # broadcast pass: copy split-source parents' x values into their
         # copy slots (exact: copy slots are zero in x, one entry per cell)
-        x2d = x2d + untranspose(_run_level(x2d, level, C, sub, interpret))
-    yt = _run_level(x2d, cg.levels[nb], C, sub, interpret)
+        x2d = x2d + untranspose(
+            _run_level(x2d, level, C, sub, interpret, slab=slab)
+        )
+    yt = _run_level(x2d, cg.levels[nb], C, sub, interpret, slab=slab)
     y2d = untranspose(yt)
     for level in cg.levels[nb + 1:]:
-        yt = _run_level(y2d, level, C, sub, interpret)
+        yt = _run_level(y2d, level, C, sub, interpret, slab=slab)
         y2d = y2d + untranspose(yt)
     y = y2d.reshape(-1) * cg.realmask.astype(x.dtype)
     return y
@@ -286,6 +309,7 @@ def spmv_cpg_df(cg: CPGGraph, x_hi: jnp.ndarray, x_lo: jnp.ndarray,
     C = cg.n_chunks
     sub = cg.sub
     n_sub = cg.n_sub
+    slab = cg.layout == "slab"
     hi2d = x_hi.reshape(n_sub, LANE)
     lo2d = x_lo.reshape(n_sub, LANE)
 
@@ -297,16 +321,21 @@ def spmv_cpg_df(cg: CPGGraph, x_hi: jnp.ndarray, x_lo: jnp.ndarray,
         # broadcast pass moves values exactly (one entry per dest cell,
         # all other contributions are structural zeros) -> plain kernel
         # on hi and lo separately introduces no rounding
-        hi2d = hi2d + untranspose(_run_level(hi2d, level, C, sub, interpret))
-        lo2d = lo2d + untranspose(_run_level(lo2d, level, C, sub, interpret))
+        hi2d = hi2d + untranspose(
+            _run_level(hi2d, level, C, sub, interpret, slab=slab)
+        )
+        lo2d = lo2d + untranspose(
+            _run_level(lo2d, level, C, sub, interpret, slab=slab)
+        )
     yt, et = _run_level(hi2d, cg.levels[nb], C, sub, interpret,
-                        compensated=True)
-    lt = _run_level(lo2d, cg.levels[nb], C, sub, interpret)
+                        compensated=True, slab=slab)
+    lt = _run_level(lo2d, cg.levels[nb], C, sub, interpret, slab=slab)
     y2d = untranspose(yt)
     e2d = untranspose(et) + untranspose(lt)
     for level in cg.levels[nb + 1:]:
-        yt, et = _run_level(y2d, level, C, sub, interpret, compensated=True)
-        lt = _run_level(e2d, level, C, sub, interpret)
+        yt, et = _run_level(y2d, level, C, sub, interpret,
+                            compensated=True, slab=slab)
+        lt = _run_level(e2d, level, C, sub, interpret, slab=slab)
         y2d, t = two_sum(y2d, untranspose(yt))
         e2d = e2d + t + untranspose(et) + untranspose(lt)
     hi, lo = fast_two_sum(y2d.reshape(-1), e2d.reshape(-1))

@@ -49,7 +49,11 @@ LANE = 128
 REAL_LANES = 127           # lane 127 is the structural zero lane
 # bump when pack output changes (cache files embed this in their name so
 # stale packs from older packer versions are not silently reused)
-PACK_VERSION = 2
+PACK_VERSION = 3
+# every level keeps >= this many ghost tiles past its real ones so the
+# kernel's batched group DMA (spmv_cpg._U_MAX tiles per copy) can start
+# at the last real tile without running off the arrays
+GROUP_PAD = 16
 # Chunk height (sublanes per chunk) is a pack-time parameter ``sub``:
 # bigger chunks make (S, D) blocks denser (entries scale with sub^2,
 # cells with sub), cutting the per-block tier maxima that set tile count;
@@ -670,7 +674,7 @@ def _finalize(graph, n, n_units, theta, sub, pos_of, levels,
         # never reference the ghost pad, so it costs nothing at runtime)
         T = lv.s_ids.shape[0]
         T_pad = _round_up(
-            max(T, 1),
+            max(T, 1) + GROUP_PAD,
             max(256, 1 << max((max(T, 1) - 1).bit_length() - 2, 0)),
         )
         rows = LANE if layout == "slab" else sub

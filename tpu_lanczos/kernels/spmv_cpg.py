@@ -33,26 +33,34 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_lanczos.kernels.cpg import CPGGraph, LANE
 
 
-def _pick_unroll(avg_tiles_per_chunk: float, slot_bytes: int,
-                 resident_x: bool) -> int:
-    """Tiles per loop iteration (independent chains -> VPU ILP).  High
-    unroll only pays when chunks carry many tiles; with few tiles the
-    clamped-duplicate padding would dominate (mesh graphs).  Capped so
-    the 2U DMA slots (l1 + l2 + xs, ``slot_bytes`` each) plus the
-    resident x and output block stay inside ~16MB VMEM."""
+def _pick_unroll(avg_tiles_per_chunk: float, idx_bytes: int,
+                 xs_bytes: int, resident_x: bool) -> int:
+    """Tiles per loop iteration (one batched l1+l2 DMA per group of U
+    consecutive tiles — the dominant per-tile cost is DMA issue
+    overhead, ~0.7us/tile when issued per tile — plus independent
+    chains for VPU ILP).  High unroll only pays when chunks carry many
+    tiles; with few tiles the clamped-duplicate padding would dominate
+    (mesh graphs).  Capped so the two U-tile group buffers plus the xs
+    run slots stay inside ~16MB VMEM."""
     if avg_tiles_per_chunk >= 96:
         u = 16
     elif avg_tiles_per_chunk >= 24:
         u = 8
     elif avg_tiles_per_chunk >= 6:
-        u = 2
+        u = 4
     else:
         u = 1
     budget = 7 * 1024 * 1024 if not resident_x else 6_800_000
-    u_vmem = max(budget // (2 * slot_bytes), 1)
+    u_vmem = max(budget // (2 * (idx_bytes + xs_bytes)), 1)
     while u > u_vmem:
         u //= 2
     return max(u, 1)
+
+
+# _finalize pads every level's tile arrays by at least this many ghost
+# tiles so a group DMA starting at the last real tile never reads past
+# the arrays (kernels/cpg.py GROUP_PAD must match)
+_U_MAX = 16
 
 
 def _make_kernel(sub: int, resident_x: bool, U: int,
@@ -66,9 +74,9 @@ def _make_kernel(sub: int, resident_x: bool, U: int,
     def _kernel(starts, counts, s_ids, run_ids, l1_hbm, l2_hbm, x_ref,
                 o_ref, *rest):
         if compensated:
-            e_ref, l1_buf, l2_buf, xs_buf, sems = rest
+            e_ref, l1_buf, l2_buf, xs_buf, sems_idx, sems_xs = rest
         else:
-            l1_buf, l2_buf, xs_buf, sems = rest
+            l1_buf, l2_buf, xs_buf, sems_idx, sems_xs = rest
         d = pl.program_id(0)
         start = starts[d]
         count = counts[d]
@@ -85,16 +93,21 @@ def _make_kernel(sub: int, resident_x: bool, U: int,
             t = clamp(i)
             return jnp.logical_or(i == 0, run_ids[t] != run_ids[t - 1])
 
-        def dma_idx(slot, i):
-            t = clamp(i)
+        def dma_idx(g):
+            # ONE batched copy per group for each index array: tiles are
+            # consecutive in HBM (d-major sort) and _finalize pads >=
+            # _U_MAX ghost tiles past every level, so the group window
+            # never runs off the arrays
+            gslot = jnp.asarray(g, jnp.int32) % 2
+            t0 = start + g * U
             return [
                 pltpu.make_async_copy(
-                    l1_hbm.at[pl.ds(t * rows, rows), :], l1_buf.at[slot],
-                    sems.at[slot, 0],
+                    l1_hbm.at[pl.ds(t0 * rows, U * rows), :],
+                    l1_buf.at[gslot], sems_idx.at[gslot, 0],
                 ),
                 pltpu.make_async_copy(
-                    l2_hbm.at[pl.ds(t * LANE, LANE), :], l2_buf.at[slot],
-                    sems.at[slot, 1],
+                    l2_hbm.at[pl.ds(t0 * LANE, U * LANE), :],
+                    l2_buf.at[gslot], sems_idx.at[gslot, 1],
                 ),
             ]
 
@@ -103,20 +116,19 @@ def _make_kernel(sub: int, resident_x: bool, U: int,
             s = s_ids[t]
             return pltpu.make_async_copy(
                 x_ref.at[pl.ds(s * rows, rows), :], xs_buf.at[slot],
-                sems.at[slot, 2],
+                sems_xs.at[slot],
             )
 
         def xs_slot(i):
             return jax.lax.rem(run_ids[clamp(i)], jnp.asarray(n_buf, jnp.int32))
 
         def start_group(g):
-            base = g * U
-            for u in range(U):
-                i = base + u
-                slot = (base + u) % n_buf
-                for c in dma_idx(slot, i):
-                    c.start()
-                if not resident_x:
+            for c in dma_idx(g):
+                c.start()
+            if not resident_x:
+                base = g * U
+                for u in range(U):
+                    i = base + u
                     @pl.when(jnp.logical_and(i < count, is_new_run(i)))
                     def _():
                         dma_xs(xs_slot(i), i).start()
@@ -125,7 +137,7 @@ def _make_kernel(sub: int, resident_x: bool, U: int,
         def _():
             start_group(0)
 
-        def chain(slot, i):
+        def chain(gslot, u, i):
             """One tile's routing chain; ghost/duplicate tiles are zeroed
             by the caller's mask."""
             if resident_x:
@@ -133,11 +145,10 @@ def _make_kernel(sub: int, resident_x: bool, U: int,
                 xs = x_ref[pl.ds(s * rows, rows), :]
             else:
                 xs = xs_buf[xs_slot(i)]
-            g1 = jnp.take_along_axis(
-                xs, l1_buf[slot].astype(jnp.int32), axis=1
-            )
+            l1 = l1_buf[gslot, u * rows:(u + 1) * rows]
+            g1 = jnp.take_along_axis(xs, l1.astype(jnp.int32), axis=1)
             g2 = g1.T  # (128, rows)
-            l2 = l2_buf[slot].astype(jnp.int32)  # (128, sub)
+            l2 = l2_buf[gslot, u * LANE:(u + 1) * LANE].astype(jnp.int32)
             if slab:
                 # one (128,128) source slab per tile: per output slab,
                 # gather on the low 7 bits and mask ghost cells (bit 7)
@@ -178,19 +189,18 @@ def _make_kernel(sub: int, resident_x: bool, U: int,
                 start_group(g + 1)
 
             base = g * U
-            for u in range(U):
-                i = base + u
-                slot = (base + u) % n_buf
-                for c in dma_idx(slot, i):
-                    c.wait()
-                if not resident_x:
+            for c in dma_idx(g):
+                c.wait()
+            if not resident_x:
+                for u in range(U):
+                    i = base + u
                     @pl.when(jnp.logical_and(i < count, is_new_run(i)))
                     def _():
                         dma_xs(xs_slot(i), i).wait()
+            gslot = jnp.asarray(g, jnp.int32) % 2
             for u in range(U):
                 i = base + u
-                slot = (base + u) % n_buf
-                g3 = chain(slot, i)
+                g3 = chain(gslot, u, i)
                 if U > 1:
                     g3 = jnp.where(i < count, g3, jnp.zeros_like(g3))
                 if compensated:
@@ -223,10 +233,11 @@ def _run_level(x2d, level, n_chunks, sub, interpret, compensated=False,
     resident_x = x2d.size * x2d.dtype.itemsize <= _RESIDENT_X_LIMIT
     l2_dtype = level["l2"].dtype
     rows = LANE if slab else sub
-    slot_bytes = (rows * LANE * (1 + x2d.dtype.itemsize)
-                  + LANE * sub * l2_dtype.itemsize)
+    idx_bytes = rows * LANE + LANE * sub * l2_dtype.itemsize
+    xs_bytes = 0 if resident_x else rows * LANE * x2d.dtype.itemsize
     U = _pick_unroll(
-        level["s_ids"].shape[0] / max(n_chunks, 1), slot_bytes, resident_x
+        level["s_ids"].shape[0] / max(n_chunks, 1), idx_bytes, xs_bytes,
+        resident_x,
     )
     out_block = pl.BlockSpec(
         (LANE, sub), lambda d, *_: (d, 0), memory_space=pltpu.VMEM
@@ -250,10 +261,11 @@ def _run_level(x2d, level, n_chunks, sub, interpret, compensated=False,
             ],
             out_specs=(out_block, out_block) if compensated else out_block,
             scratch_shapes=[
-                pltpu.VMEM((2 * U, rows, LANE), jnp.int8),
-                pltpu.VMEM((2 * U, LANE, sub), l2_dtype),
+                pltpu.VMEM((2, U * rows, LANE), jnp.int8),
+                pltpu.VMEM((2, U * LANE, sub), l2_dtype),
                 pltpu.VMEM((2 * U, rows, LANE), x2d.dtype),
-                pltpu.SemaphoreType.DMA((2 * U, 3)),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2 * U,)),
             ],
         ),
         out_shape=(out_sds, out_sds) if compensated else out_sds,

@@ -66,18 +66,25 @@ def main():
     t0 = time.time()
     from tpu_lanczos.kernels.cpg import PACK_VERSION
 
-    cpg_cache = os.path.join(CACHE, f"cpg_{N}_{M}_{SEED}_v{PACK_VERSION}.npz")
+    # sub=512 measured fastest for this power-law class on v5e (0.266s
+    # vs 0.394s at the sub=256 auto-pick; bench_results/suite_full.jsonl)
+    SUB = 512
+    cpg_cache = os.path.join(
+        CACHE, f"cpg_{N}_{M}_{SEED}_v{PACK_VERSION}_sub{SUB}.npz"
+    )
     dg = None
     if jax.default_backend() not in ("cpu", "gpu") and os.path.exists(cpg_cache):
         from tpu_lanczos.kernels.cpg import load_cpg
 
         dg = load_cpg(cpg_cache)
     if dg is None:
-        dg = best_device_pack(g)
-        if type(dg).__name__ == "CPGGraph":
-            from tpu_lanczos.kernels.cpg import save_cpg
+        if jax.default_backend() not in ("cpu", "gpu"):
+            from tpu_lanczos.kernels.cpg import pack_cpg, save_cpg
 
+            dg = pack_cpg(g, sub=SUB)
             save_cpg(dg, cpg_cache)
+        else:
+            dg = best_device_pack(g)
     log(f"packed ({type(dg).__name__}) in {time.time()-t0:.1f}s")
     x = jnp.asarray(dg.permute_in(np.ones(g.n), np.float32))
 

@@ -33,6 +33,9 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_lanczos.kernels.cpg import CPGGraph, LANE
 
 
+_N_PIPE = 4  # index-group DMA pipeline depth
+
+
 def _pick_unroll(avg_tiles_per_chunk: float, idx_bytes: int,
                  xs_bytes: int, resident_x: bool) -> int:
     """Tiles per loop iteration (one batched l1+l2 DMA per group of U
@@ -51,7 +54,7 @@ def _pick_unroll(avg_tiles_per_chunk: float, idx_bytes: int,
     else:
         u = 1
     budget = 7 * 1024 * 1024 if not resident_x else 6_800_000
-    u_vmem = max(budget // (2 * (idx_bytes + xs_bytes)), 1)
+    u_vmem = max(budget // (_N_PIPE * idx_bytes + 2 * xs_bytes), 1)
     while u > u_vmem:
         u //= 2
     return max(u, 1)
@@ -63,13 +66,17 @@ def _pick_unroll(avg_tiles_per_chunk: float, idx_bytes: int,
 _U_MAX = 16
 
 
-def _make_kernel(sub: int, resident_x: bool, U: int,
-                 compensated: bool = False, slab: bool = False):
+def _make_kernel(sub: int, resident_x: bool, U: int, n_pipe: int,
+                 t_total: int, compensated: bool = False,
+                 slab: bool = False):
     n_slab = sub // LANE
     # slab layout: each tile reads one (128, 128) source slab (s_ids are
     # global slab ids); l2's high bit flags ghost dest cells
     rows = LANE if slab else sub
-    n_buf = 2 * U  # double-buffered groups of U tiles
+    # n_pipe index-group copies stay in flight (the kernel is DMA-
+    # throughput bound: 2-deep buffering measured only ~90-100 GB/s of
+    # HBM); the x-chunk run stream keeps its own 2-group-deep window
+    n_buf = 2 * U  # xs run slots
 
     def _kernel(starts, counts, s_ids, run_ids, l1_hbm, l2_hbm, x_ref,
                 o_ref, *rest):
@@ -95,11 +102,10 @@ def _make_kernel(sub: int, resident_x: bool, U: int,
 
         def dma_idx(g):
             # ONE batched copy per group for each index array: tiles are
-            # consecutive in HBM (d-major sort) and _finalize pads >=
-            # _U_MAX ghost tiles past every level, so the group window
-            # never runs off the arrays
-            gslot = jnp.asarray(g, jnp.int32) % 2
-            t0 = start + g * U
+            # consecutive in HBM (d-major sort); prefetch windows past
+            # the level's tiles clamp to the (ghost-padded) array end
+            gslot = jnp.asarray(g, jnp.int32) % n_pipe
+            t0 = jnp.minimum(start + g * U, t_total - U)
             return [
                 pltpu.make_async_copy(
                     l1_hbm.at[pl.ds(t0 * rows, U * rows), :],
@@ -122,20 +128,28 @@ def _make_kernel(sub: int, resident_x: bool, U: int,
         def xs_slot(i):
             return jax.lax.rem(run_ids[clamp(i)], jnp.asarray(n_buf, jnp.int32))
 
-        def start_group(g):
+        def start_idx(g):
             for c in dma_idx(g):
                 c.start()
-            if not resident_x:
-                base = g * U
-                for u in range(U):
-                    i = base + u
-                    @pl.when(jnp.logical_and(i < count, is_new_run(i)))
-                    def _():
-                        dma_xs(xs_slot(i), i).start()
 
+        def start_xs(g):
+            base = g * U
+            for u in range(U):
+                i = base + u
+                @pl.when(jnp.logical_and(i < count, is_new_run(i)))
+                def _():
+                    dma_xs(xs_slot(i), i).start()
+
+        n_groups = (count + (U - 1)) // U
+        # fill the index pipeline n_pipe - 1 deep; xs stays 1 group deep
+        for g0 in range(n_pipe - 1):
+            @pl.when(g0 < n_groups)
+            def _(g0=g0):
+                start_idx(g0)
         @pl.when(count > 0)
         def _():
-            start_group(0)
+            if not resident_x:
+                start_xs(0)
 
         def chain(gslot, u, i):
             """One tile's routing chain; ghost/duplicate tiles are zeroed
@@ -180,13 +194,15 @@ def _make_kernel(sub: int, resident_x: bool, U: int,
                 slabs.append(res)
             return jnp.concatenate(slabs, axis=1)  # (128, sub)
 
-        n_groups = (count + (U - 1)) // U
-
         def body(g, carry):
             acc, err = carry
-            @pl.when(g + 1 < n_groups)
+            @pl.when(g + n_pipe - 1 < n_groups)
             def _():
-                start_group(g + 1)
+                start_idx(g + n_pipe - 1)
+            if not resident_x:
+                @pl.when(g + 1 < n_groups)
+                def _():
+                    start_xs(g + 1)
 
             base = g * U
             for c in dma_idx(g):
@@ -197,7 +213,7 @@ def _make_kernel(sub: int, resident_x: bool, U: int,
                     @pl.when(jnp.logical_and(i < count, is_new_run(i)))
                     def _():
                         dma_xs(xs_slot(i), i).wait()
-            gslot = jnp.asarray(g, jnp.int32) % 2
+            gslot = jnp.asarray(g, jnp.int32) % n_pipe
             for u in range(U):
                 i = base + u
                 g3 = chain(gslot, u, i)
@@ -247,8 +263,9 @@ def _run_level(x2d, level, n_chunks, sub, interpret, compensated=False,
     out_sds = jax.ShapeDtypeStruct((n_chunks * LANE, sub), x2d.dtype,
                                    vma=vma)
     return pl.pallas_call(
-        _make_kernel(sub, resident_x, U, compensated=compensated,
-                     slab=slab),
+        _make_kernel(sub, resident_x, U, _N_PIPE,
+                     int(level["s_ids"].shape[0]),
+                     compensated=compensated, slab=slab),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,  # starts, counts, s_ids, run_ids
             grid=(n_chunks,),
@@ -261,10 +278,10 @@ def _run_level(x2d, level, n_chunks, sub, interpret, compensated=False,
             ],
             out_specs=(out_block, out_block) if compensated else out_block,
             scratch_shapes=[
-                pltpu.VMEM((2, U * rows, LANE), jnp.int8),
-                pltpu.VMEM((2, U * LANE, sub), l2_dtype),
+                pltpu.VMEM((_N_PIPE, U * rows, LANE), jnp.int8),
+                pltpu.VMEM((_N_PIPE, U * LANE, sub), l2_dtype),
                 pltpu.VMEM((2 * U, rows, LANE), x2d.dtype),
-                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((_N_PIPE, 2)),
                 pltpu.SemaphoreType.DMA((2 * U,)),
             ],
         ),

@@ -300,3 +300,4 @@ def edge_color(a_ids: np.ndarray, b_ids: np.ndarray) -> np.ndarray:
     if used < 0:
         raise RuntimeError("gc_edge_color failed")
     return colors
+

@@ -898,3 +898,4 @@ extern "C" int64_t gc_compact_i64(int64_t n, const int64_t *keys,
     std::memcpy(out_uniq, uniq.data(), uniq.size() * sizeof(int64_t));
   return n_u;
 }
+

@@ -606,37 +606,41 @@ def _pack_split(graph, rows, cols, n, theta, theta_s, sub, order,
         deg_u[n_units_d:n_units_d + n_copies] = theta_s
     if order == "locality":
         rank = np.arange(n_units, dtype=np.int64)
-    else:
+    else:  # "degree" and the provisional layout for "balance"
         srt = np.argsort(-deg_u, kind="stable")
         rank = np.empty(n_units, dtype=np.int64)
         rank[srt] = np.arange(n_units)
     pos_of = _pos_of_unit(rank, sub)
 
-    # ---- dest dealing (which part of its split row an entry rides)
-    if redeal:
-        s_chunk_of_entry = pos_of[cols] // (sub * LANE)
-        dpart = _group_deal(rows, s_chunk_of_entry, d_parts)
-    else:
-        starts = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(ddeg, out=starts[1:])
-        dpart = (np.arange(rows.size) - starts[rows]) // theta
-    dunit = np.where(dpart == 0, rows, d_base[rows] + dpart - 1)
-
-    # ---- source dealing (which copy an entry reads)
-    if theta_s:
-        d_chunk_of_entry = pos_of[dunit] // (sub * LANE)
+    def deal(pos_of):
+        # ---- dest dealing (which part of its split row an entry rides)
         if redeal:
-            spart = _group_deal(cols, d_chunk_of_entry, s_parts)
+            s_chunk_of_entry = pos_of[cols] // (sub * LANE)
+            dpart = _group_deal(rows, s_chunk_of_entry, d_parts)
         else:
-            csort = np.argsort(cols, kind="stable")
-            sstarts = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(sdeg, out=sstarts[1:])
-            within = np.empty(cols.size, dtype=np.int64)
-            within[csort] = np.arange(cols.size) - sstarts[cols[csort]]
-            spart = within % np.maximum(s_parts[cols], 1)
-        sunit = np.where(spart == 0, cols, s_base[cols] + spart - 1)
-    else:
-        sunit = cols
+            starts = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(ddeg, out=starts[1:])
+            dpart = (np.arange(rows.size) - starts[rows]) // theta
+        dunit = np.where(dpart == 0, rows, d_base[rows] + dpart - 1)
+
+        # ---- source dealing (which copy an entry reads)
+        if theta_s:
+            d_chunk_of_entry = pos_of[dunit] // (sub * LANE)
+            if redeal:
+                spart = _group_deal(cols, d_chunk_of_entry, s_parts)
+            else:
+                csort = np.argsort(cols, kind="stable")
+                sstarts = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(sdeg, out=sstarts[1:])
+                within = np.empty(cols.size, dtype=np.int64)
+                within[csort] = np.arange(cols.size) - sstarts[cols[csort]]
+                spart = within % np.maximum(s_parts[cols], 1)
+            sunit = np.where(spart == 0, cols, s_base[cols] + spart - 1)
+        else:
+            sunit = cols
+        return dunit, sunit
+
+    dunit, sunit = deal(pos_of)
 
     build = _build_cpg_level_slab if layout == "slab" else _build_cpg_level
     levels = []

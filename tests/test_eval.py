@@ -56,3 +56,22 @@ def test_bench_suite_config_shapes():
     g = build(small)
     assert g.n == 100
     assert {c["kind"] for c in CONFIGS} <= {"barabasi", "uniform", "stencil", "stencil3d", "rmat"}
+
+
+def test_pack_scan_estimates_match_actual_pack():
+    """The scanner's Konig bound should track the real packer's tile
+    count closely (native coloring achieves the bound to ~1%; the
+    scanner's single-level reduce approximation adds a little slack)."""
+    import numpy as np
+
+    from tpu_lanczos.eval.pack_scan import scan_config
+    from tpu_lanczos.graphs import generators
+    from tpu_lanczos.kernels.cpg import pack_cpg
+
+    g = generators.barabasi_albert(40000, 8, seed=3, use_native=False)
+    est = scan_config(g, theta=50, theta_s=50, sub=256, order="degree",
+                      redeal=True)
+    cg = pack_cpg(g, theta=50, theta_s=50, sub=256, order="degree",
+                  redeal=True)
+    actual = cg.total_tiles
+    assert 0.8 * actual <= est["total_tiles"] <= 1.2 * actual

@@ -26,7 +26,8 @@ import numpy as np
 #  (k=50) and :289-480 (k=100))
 CONFIGS = [
     dict(name="ba_1M_m10", kind="barabasi", n=1_000_000, m=10,
-         analog="bn1000000e9999944", ref_s=0.4166, ref_s_k100=0.8096),
+         analog="bn1000000e9999944", ref_s=0.4166, ref_s_k100=0.8096,
+         pack=dict(sub=512)),
     dict(name="uniform_1M_e10M", kind="uniform", n=1_000_000, e=10_000_000,
          analog=None, ref_s=None),
     dict(name="stencil_1400", kind="stencil", side=1400,
@@ -43,7 +44,7 @@ CONFIGS = [
     dict(name="rmat_540k_e15M", kind="rmat", n=540_000, e=15_250_000,
          analog="coPapersDBLP n=540K nnz=30M deg~56 (co-authorship, "
                 "community-clustered)",
-         ref_s=0.1200, ref_s_k100=0.3276),
+         ref_s=0.1200, ref_s_k100=0.3276, pack=dict(sub=512)),
     dict(name="rmat_4M_e35M", kind="rmat", n=4_000_000, e=34_700_000,
          analog="com-LiveJournal n=4.0M nnz=69M (social; R-MAT carries "
                 "the real graph's skew + community structure)",

@@ -1,0 +1,193 @@
+"""Pack design-space scanner: predict CPG tile counts WITHOUT building
+index tiles.
+
+The CPG kernel's runtime is ``tiles x cyc_per_tile`` with (measured on
+v5e, docs/DESIGN.md):
+
+    cyc_per_tile(sub) ~= 260 * (sub/128) + 50 * (sub/128)^2
+
+(linear: first gather + transpose + DMA; quadratic: the second gather's
+(sub/128)^2 slab-select units).  Tiles are the Konig bound
+``sum_block max(endpoint loads)``, which the native coloring achieves to
+within ~1% — so a scan over (theta, theta_s, sub, order, redeal) that
+only computes per-block load maxima predicts hardware time well enough
+to pick a pack config (validated: ba_4M sub=512 predicted 1.41s,
+measured 1.78s at the pre-group-DMA kernel; ratios between configs
+track much tighter than absolute times).
+
+This mirrors the reference's practice of sweeping launch/blocking
+parameters per graph (parallel-final writeup Table 3); here the sweep
+runs on the host in seconds instead of on device.
+
+Usage: ``python -m tpu_lanczos.eval.pack_scan --kind rmat540
+--spec 120,120,512,degree,1 --spec 70,none,256,locality,0``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+from tpu_lanczos.kernels.cpg import (
+    LANE, REAL_LANES, _group_deal, _pos_of_unit, _split_counts,
+)
+
+# measured v5e kernel cost model (docs/DESIGN.md round-2 breakdown)
+_CYC_LIN = 260.5
+_CYC_QUAD = 50.5
+CLOCK_HZ = 0.94e9
+
+
+def cyc_per_tile(sub: int) -> float:
+    m = sub / 128.0
+    return _CYC_LIN * m + _CYC_QUAD * m * m
+
+
+def est_level_tiles(src_pos: np.ndarray, dst_pos: np.ndarray, sub: int):
+    """Konig tile bound for one level: sum over (S, D) blocks of the max
+    staging-cell / dest-cell load."""
+    s_chunk = src_pos // (sub * LANE)
+    ss = (src_pos // LANE) % sub
+    d_chunk = dst_pos // (sub * LANE)
+    rd = (dst_pos // LANE) % sub
+    ld = dst_pos % LANE
+    block = d_chunk.astype(np.int64) * (1 << 32) + s_chunk
+    ub, binv = np.unique(block, return_inverse=True)
+    a_key = binv.astype(np.int64) * (sub * LANE) + ss * LANE + ld
+    b_key = binv.astype(np.int64) * (sub * LANE) + rd * LANE + ld
+    delta = np.zeros(ub.size, dtype=np.int64)
+    for key in (a_key, b_key):
+        uk, cnt = np.unique(key, return_counts=True)
+        np.maximum.at(delta, uk // (sub * LANE), cnt)
+    return int(delta.sum()), int(ub.size)
+
+
+def scan_config(g, theta: int, theta_s: int | None, sub: int,
+                order: str = "degree", redeal: bool = True) -> dict:
+    """Estimate tiles/time for one pack config (single-level reduce-tree
+    approximation — exact for rows with <= theta^2 degree)."""
+    rows = g.row_ids().astype(np.int64)
+    cols = g.indices.astype(np.int64)
+    n = g.n
+
+    ddeg = np.bincount(rows, minlength=n)
+    d_parts = _split_counts(ddeg, theta)
+    d_extra = np.maximum(d_parts - 1, 0)
+    d_base = np.zeros(n, np.int64)
+    d_base[1:] = np.cumsum(d_extra)[:-1]
+    n_units = n + int(d_extra.sum())
+    d_base += n
+
+    sdeg = np.bincount(cols, minlength=n)
+    s_parts = _split_counts(sdeg, theta_s) if theta_s else np.ones(n, np.int64)
+    s_extra = np.maximum(s_parts - 1, 0)
+    s_base = np.zeros(n, np.int64)
+    s_base[1:] = np.cumsum(s_extra)[:-1]
+    s_base += n_units
+    n_units += int(s_extra.sum())
+
+    nz_s = np.nonzero(s_extra)[0]
+    bc_src = np.repeat(nz_s, s_extra[nz_s])
+    bc_dst = np.concatenate([
+        np.arange(s_base[u], s_base[u] + s_extra[u]) for u in nz_s
+    ]) if nz_s.size else np.zeros(0, np.int64)
+
+    nz_d = np.nonzero(d_extra)[0]
+    r_src = np.concatenate([
+        np.arange(d_base[u], d_base[u] + d_extra[u]) for u in nz_d
+    ]) if nz_d.size else np.zeros(0, np.int64)
+    r_dst = np.repeat(nz_d, d_extra[nz_d])
+
+    deg_u = np.zeros(n_units, np.int64)
+    deg_u[:n] = (np.minimum(ddeg, theta)
+                 + np.minimum(sdeg, theta_s or 0) + d_extra + s_extra)
+    if r_src.size:
+        deg_u[r_src] = theta
+    if bc_dst.size:
+        deg_u[bc_dst] = theta_s
+    if order == "degree":
+        srt = np.argsort(-deg_u, kind="stable")
+        rank = np.empty(n_units, dtype=np.int64)
+        rank[srt] = np.arange(n_units)
+    else:
+        rank = np.arange(n_units, dtype=np.int64)
+    pos = _pos_of_unit(rank, sub)
+    n_chunks = int(np.ceil(n_units / (sub * REAL_LANES)))
+
+    if redeal:
+        s_chunk_of_entry = pos[cols] // (sub * LANE)
+        dpart = _group_deal(rows, s_chunk_of_entry, d_parts)
+    else:
+        starts = np.zeros(n + 1, np.int64)
+        np.cumsum(ddeg, out=starts[1:])
+        dpart = (np.arange(rows.size) - starts[rows]) // theta
+    dunit = np.where(dpart == 0, rows, d_base[rows] + dpart - 1)
+
+    if theta_s:
+        d_chunk_of_entry = pos[dunit] // (sub * LANE)
+        if redeal:
+            spart = _group_deal(cols, d_chunk_of_entry, s_parts)
+        else:
+            csort = np.argsort(cols, kind="stable")
+            sstarts = np.zeros(n + 1, np.int64)
+            np.cumsum(sdeg, out=sstarts[1:])
+            within = np.empty(cols.size, np.int64)
+            within[csort] = np.arange(cols.size) - sstarts[cols[csort]]
+            spart = within % np.maximum(s_parts[cols], 1)
+        sunit = np.where(spart == 0, cols, s_base[cols] + spart - 1)
+    else:
+        sunit = cols
+
+    levels = [est_level_tiles(pos[sunit], pos[dunit], sub)]
+    if theta_s and bc_src.size:
+        levels.append(est_level_tiles(pos[bc_src], pos[bc_dst], sub))
+    if r_src.size:
+        levels.append(est_level_tiles(pos[r_src], pos[r_dst], sub))
+    total = sum(t for t, _ in levels)
+    pred_s = 50 * total * cyc_per_tile(sub) / CLOCK_HZ
+    return dict(theta=theta, theta_s=theta_s, sub=sub, order=order,
+                redeal=redeal, n_units=n_units, n_chunks=n_chunks,
+                levels=levels, total_tiles=total,
+                pred_k50_s=round(pred_s, 4))
+
+
+_KINDS = {
+    "ba300k": (lambda G: G.barabasi_albert(300_000, 9, seed=7), None),
+    "bn1M": (lambda G: G.barabasi_albert(1_000_000, 10, seed=0), 0.4166),
+    "rmat540": (lambda G: G.rmat(540_000, 15_250_000, seed=0), 0.1200),
+    "rmat4M": (lambda G: G.rmat(4_000_000, 34_700_000, seed=0), 1.3245),
+    "ba4M": (lambda G: G.barabasi_albert(4_000_000, 9, seed=0), 1.3245),
+}
+
+
+def main(argv=None):
+    from tpu_lanczos.graphs import generators
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kind", default="rmat540", choices=sorted(_KINDS))
+    ap.add_argument("--spec", action="append", default=[],
+                    help="theta,theta_s|none,sub,order,redeal(0/1)")
+    args = ap.parse_args(argv)
+    gen, ref = _KINDS[args.kind]
+    g = gen(generators)
+    print(f"{args.kind}: n={g.n} nnz={g.nnz}", file=sys.stderr)
+    specs = args.spec or ["120,120,512,degree,1", "70,70,512,degree,1",
+                          "120,none,256,locality,0"]
+    for spec in specs:
+        th, ths, sb, od, rd = spec.split(",")
+        t0 = time.time()
+        r = scan_config(g, int(th), None if ths == "none" else int(ths),
+                        int(sb), order=od, redeal=rd == "1")
+        if ref:
+            r["pred_vs_ref"] = round(ref / r["pred_k50_s"], 2)
+        r["scan_s"] = round(time.time() - t0, 1)
+        print(json.dumps(r), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

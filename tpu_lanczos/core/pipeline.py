@@ -99,11 +99,16 @@ def expm_action_summary(
         else:
             dg = pack(graph, fmt=fmt)
     dtype = jnp.dtype(dtype)
-    x_host = np.ones(graph.n) if x is None else np.asarray(x)
-    x_dev = jnp.asarray(dg.permute_in(x_host, dtype))
     mask = getattr(dg, "realmask", None)
-    if mask is None:
+    if mask is None or mask.ndim != 1 or mask.size != getattr(dg, "n_pad", -1):
         mask = jnp.asarray(dg.permute_in(np.ones(graph.n), np.float32))
+    if x is None:
+        # the permuted all-ones start vector IS the real-position mask:
+        # build it on device, skipping the O(n) host->device transfer
+        # (material through the tunnel relay; free on local hosts too)
+        x_dev = mask.astype(dtype)
+    else:
+        x_dev = jnp.asarray(dg.permute_in(np.asarray(x), dtype))
 
     state = lanczos(dg, x_dev, k, spmv_impl=spmv_impl)
     from tpu_lanczos.core import tridiag
@@ -255,8 +260,16 @@ def expm_action(
         else:
             dg = pack(graph, fmt=fmt, ell_pct=ell_pct)
     dtype = jnp.dtype(dtype)
-    x_host = np.ones(graph.n) if x is None else np.asarray(x)
-    x_dev = jnp.asarray(dg.permute_in(x_host, dtype))
+    mask1d = getattr(dg, "realmask", None)
+    if mask1d is not None and (mask1d.ndim != 1
+                               or mask1d.size != getattr(dg, "n_pad", -1)):
+        mask1d = None  # e.g. CST's (128, n_cols) layout mask
+    if x is None and mask1d is not None:
+        # permuted ones == realmask; skip the O(n) H2D transfer
+        x_dev = mask1d.astype(dtype)
+    else:
+        x_host = np.ones(graph.n) if x is None else np.asarray(x)
+        x_dev = jnp.asarray(dg.permute_in(x_host, dtype))
 
     if low_mem:
         from tpu_lanczos.core import tridiag

@@ -44,7 +44,7 @@ CONFIGS = [
     dict(name="rmat_540k_e15M", kind="rmat", n=540_000, e=15_250_000,
          analog="coPapersDBLP n=540K nnz=30M deg~56 (co-authorship, "
                 "community-clustered)",
-         ref_s=0.1200, ref_s_k100=0.3276, pack=dict(sub=512)),
+         ref_s=0.1200, ref_s_k100=0.3276, pack=dict(sub=256)),
     dict(name="rmat_4M_e35M", kind="rmat", n=4_000_000, e=34_700_000,
          analog="com-LiveJournal n=4.0M nnz=69M (social; R-MAT carries "
                 "the real graph's skew + community structure)",

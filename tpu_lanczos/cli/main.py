@@ -31,7 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-b", "--barabasi", type=int, default=None, metavar="DEG",
                    help="generate Barabasi-Albert with this degree instead")
     p.add_argument("-v", "--verbose", action="store_true")
-    p.add_argument("--dtype", default="float32", choices=["float32", "float64"])
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "float64", "df64"],
+                   help="df64: two-float32 double-word pipeline — f64-grade "
+                        "accuracy on TPU hardware (docs/ACCURACY.md)")
     p.add_argument("--fmt", default="best",
                    choices=["best", "auto", "ell", "coo", "hyb", "cpg", "cst"])
     p.add_argument("--seed", type=int, default=0)
@@ -58,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(avoids f32 overflow)")
     p.add_argument("--no-serial", action="store_true",
                    help="skip the numpy oracle pass (large graphs)")
+    p.add_argument("--topk", type=int, default=0, metavar="K",
+                   help="summary mode: reduce the answer ON DEVICE to its "
+                        "top-K entries + norm (O(K) transfer) instead of "
+                        "pulling the full vector")
     p.add_argument("--low-mem", action="store_true",
                    help="two-pass Q-free Lanczos: O(n) device memory "
                         "instead of O(k*n) (large single-chip graphs)")
@@ -146,11 +153,31 @@ def main(argv=None) -> int:
             dg = pack_cpg(g, theta=args.cpg_theta, sub=args.cpg_sub,
                           order=args.cpg_order, theta_s=theta_s,
                           redeal=redeal)
-        res = expm_action(
-            g, k=k, dtype=args.dtype, fmt=args.fmt, dg=dg,
-            ell_pct=args.ell_pct, low_mem=args.low_mem,
-            reorthogonalize=args.reorthogonalize, log_scale=args.log_scale,
-        )
+        if args.topk:
+            from tpu_lanczos.core.pipeline import expm_action_summary
+
+            srs = expm_action_summary(g, k=k, topk=args.topk, fmt=args.fmt,
+                                      dg=dg)
+            t_device = time.time() - t0
+            print(f"device summary pipeline: {t_device:.4f}s "
+                  f"(includes compile on first run)")
+            print(f"  ||ans|| = {srs.ans_norm:.6e}  "
+                  f"log-scale shift = {srs.log_scale:.6f}")
+            print(f"  top-{args.topk} nodes: {srs.top_nodes.tolist()}")
+            print(f"  top-{args.topk} values (scaled): "
+                  + " ".join(f"{v:.6e}" for v in srs.top_values))
+            return 0
+        if args.dtype == "df64":
+            from tpu_lanczos.core.lanczos_df import expm_action_df
+
+            res = expm_action_df(g, k=k, dg=dg, log_scale=args.log_scale)
+        else:
+            res = expm_action(
+                g, k=k, dtype=args.dtype, fmt=args.fmt, dg=dg,
+                ell_pct=args.ell_pct, low_mem=args.low_mem,
+                reorthogonalize=args.reorthogonalize,
+                log_scale=args.log_scale,
+            )
         ans, shift = res.ans, res.log_scale
     t_device = time.time() - t0
     label = f"{args.shards}-shard mesh" if args.shards else "device"

@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="CPG vertex ordering")
     p.add_argument("--cpg-theta-s", default="auto", metavar="TS",
                    help="CPG source-split cap: auto | off | <int>")
+    p.add_argument("--cpg-layout", default="auto",
+                   choices=["auto", "classic", "slab"],
+                   help="CPG tile layout (slab: source-slab-pure tiles)")
     p.add_argument("--cpg-redeal", default="auto",
                    choices=["auto", "on", "off"],
                    help="CPG block-aware entry dealing")
@@ -152,7 +155,7 @@ def main(argv=None) -> int:
                       else args.cpg_redeal == "on")
             dg = pack_cpg(g, theta=args.cpg_theta, sub=args.cpg_sub,
                           order=args.cpg_order, theta_s=theta_s,
-                          redeal=redeal)
+                          redeal=redeal, layout=args.cpg_layout)
         if args.topk:
             from tpu_lanczos.core.pipeline import expm_action_summary
 

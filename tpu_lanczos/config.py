@@ -34,6 +34,9 @@ class Config:
     cpg_theta_s: int | str | None = "auto"
     # block-aware dealing (None = auto: on for power-law / "degree" order)
     cpg_redeal: bool | None = None
+    # tile layout: "auto"/"classic" (chunk-pair tiles) | "slab"
+    # (source-slab-pure tiles; measured slower on every class so far)
+    cpg_layout: str = "auto"
     # XLA-format parameters (kernels/formats.py)
     ell_pct: float = 98.0  # hybrid: ELL width percentile; rest spills to COO
     lane_tile: int = 128
@@ -78,6 +81,7 @@ class Config:
             cpg_order=getattr(args, "cpg_order", "auto"),
             cpg_theta_s=cls._norm_theta_s(getattr(args, "cpg_theta_s", "auto")),
             cpg_redeal=cls._norm_redeal(getattr(args, "cpg_redeal", "auto")),
+            cpg_layout=getattr(args, "cpg_layout", "auto"),
             ell_pct=getattr(args, "ell_pct", 98.0),
             shards=args.shards,
             filename=args.file,

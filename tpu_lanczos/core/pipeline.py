@@ -192,7 +192,7 @@ def run_config(cfg, graph: CSRGraph | None = None, x: np.ndarray | None = None):
 
         dg = pack_cpg(graph, theta=cfg.cpg_theta, sub=cfg.cpg_sub,
                       order=cfg.cpg_order, theta_s=cfg.cpg_theta_s,
-                      redeal=cfg.cpg_redeal)
+                      redeal=cfg.cpg_redeal, layout=cfg.cpg_layout)
     return expm_action(graph, x, fmt=cfg.fmt, dg=dg, ell_pct=cfg.ell_pct,
                        **common)
 

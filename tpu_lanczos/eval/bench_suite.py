@@ -148,11 +148,17 @@ def run_one(cfg, k=50, reps=3, cache_dir=".bench_cache"):
 
     # index-traffic roofline: bytes the SpMV must move per iteration
     fmt = type(dg).__name__
+    tiles = None
+    cyc_per_tile = None
     if fmt == "CPGGraph":
         idx_bytes = sum(
             int(np.prod(lv["l1"].shape)) + int(np.prod(lv["l2"].shape))
             for lv in dg.levels
         )
+        # the honest per-tile metric: measured cycles per executed tile
+        # vs the ~500-cyc routing-chain floor (docs/DESIGN.md)
+        tiles = int(dg.total_tiles)
+        cyc_per_tile = round(t * 0.94e9 / max(k * tiles, 1))
     else:
         idx_bytes = g.nnz * 8
     roofline_s = k * idx_bytes / (HBM_GBPS * 1e9)
@@ -164,6 +170,7 @@ def run_one(cfg, k=50, reps=3, cache_dir=".bench_cache"):
         compile_s=round(t_compile, 1), lanczos_s=round(t, 4),
         gnnz_per_s=round(g.nnz * k / t / 1e9, 2),
         roofline_pct=round(100 * roofline_s / t, 1),
+        tiles=tiles, cyc_per_tile=cyc_per_tile,
         analog=cfg.get("analog"), ref_s=ref_s,
         vs_ref=round(ref_s / t, 2) if ref_s else None,
     )

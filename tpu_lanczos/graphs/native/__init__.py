@@ -301,3 +301,4 @@ def edge_color(a_ids: np.ndarray, b_ids: np.ndarray) -> np.ndarray:
         raise RuntimeError("gc_edge_color failed")
     return colors
 
+

@@ -899,3 +899,4 @@ extern "C" int64_t gc_compact_i64(int64_t n, const int64_t *keys,
   return n_u;
 }
 
+

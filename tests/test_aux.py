@@ -158,3 +158,42 @@ def test_cli_sharded(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "4-shard mesh" in out
+
+
+def test_load_cpg_extends_short_ghost_tail(tmp_path):
+    """Packs saved before the batched group DMA may lack the GROUP_PAD
+    ghost-tile tail; load_cpg must extend them so the kernel's group
+    windows stay in bounds."""
+    import numpy as np
+
+    from tpu_lanczos.graphs import generators
+    from tpu_lanczos.kernels import cpg as C
+
+    g = generators.barabasi_albert(5000, 6, seed=2, use_native=False)
+    cg = C.pack_cpg(g, sub=128)
+    path = str(tmp_path / "old_pack.npz")
+    C.save_cpg(cg, path)
+    # simulate an old pack: strip the tail down to zero ghost tiles
+    z = dict(np.load(path))
+    for i in range(int(z["n_levels"])):
+        T = int(z[f"lv{i}_counts"].sum())
+        z[f"lv{i}_l1"] = z[f"lv{i}_l1"][: T * cg.sub]
+        z[f"lv{i}_l2"] = z[f"lv{i}_l2"][: T * 128]
+        for k in ("s_ids", "d_ids", "run_ids"):
+            z[f"lv{i}_{k}"] = z[f"lv{i}_{k}"][:T]
+    np.savez(path, **z)
+    cg2 = C.load_cpg(path)
+    for lv in cg2.levels:
+        tail = lv["s_ids"].shape[0] - int(np.asarray(lv["counts"]).sum())
+        assert tail >= C.GROUP_PAD
+    # still computes the right SpMV
+    import jax.numpy as jnp
+
+    from tpu_lanczos.kernels.spmv_cpg import spmv_cpg
+
+    rng = np.random.default_rng(0)
+    xr = rng.standard_normal(g.n)
+    y = cg2.permute_out(np.asarray(spmv_cpg(
+        cg2, jnp.asarray(cg2.permute_in(xr, np.float64)), interpret=True)))
+    want = g.to_scipy() @ xr
+    np.testing.assert_allclose(y, want, rtol=1e-11, atol=1e-11)

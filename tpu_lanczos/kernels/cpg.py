@@ -378,27 +378,44 @@ def save_cpg(cg: CPGGraph, path: str) -> None:
 
 def load_cpg(path: str) -> CPGGraph:
     z = np.load(path)
+    sub = int(z["sub"]) if "sub" in z else 128
+    layout = str(z["layout"]) if "layout" in z else "classic"
+    rows = LANE if layout == "slab" else sub
 
     def level(i):
-        lv = {k: jnp.asarray(z[f"lv{i}_{k}"])
+        lv = {k: np.asarray(z[f"lv{i}_{k}"])
               for k in ("l1", "l2", "s_ids", "d_ids", "starts", "counts")}
         key = f"lv{i}_run_ids"
         if key in z:
-            lv["run_ids"] = jnp.asarray(z[key])
+            lv["run_ids"] = np.asarray(z[key])
         else:  # packs saved before run caching existed
-            lv["run_ids"] = jnp.asarray(
-                _run_ids(np.asarray(lv["s_ids"]), np.asarray(lv["d_ids"]))
-            )
-        return lv
+            lv["run_ids"] = _run_ids(lv["s_ids"], lv["d_ids"])
+        # packs saved before the batched group DMA lack the >= GROUP_PAD
+        # ghost-tile tail the kernel's group windows may read — extend
+        tail = lv["s_ids"].shape[0] - int(lv["counts"].sum())
+        if tail < GROUP_PAD:
+            extra = GROUP_PAD - tail
+            lv["l1"] = np.concatenate([
+                lv["l1"],
+                np.full((extra * rows, LANE), LANE - 1, dtype=lv["l1"].dtype),
+            ])
+            pad2 = (np.full((extra * LANE, sub), 255, np.uint8)
+                    if layout == "slab"
+                    else np.zeros((extra * LANE, sub), lv["l2"].dtype))
+            lv["l2"] = np.concatenate([lv["l2"], pad2])
+            for k in ("s_ids", "d_ids", "run_ids"):
+                lv[k] = np.concatenate(
+                    [lv[k], np.zeros(extra, dtype=lv[k].dtype)]
+                )
+        return {k: jnp.asarray(v) for k, v in lv.items()}
 
     levels = tuple(level(i) for i in range(int(z["n_levels"])))
     return CPGGraph(
         n=int(z["n"]), n_chunks=int(z["n_chunks"]), nnz=int(z["nnz"]),
-        theta=int(z["theta"]), sub=int(z["sub"]) if "sub" in z else 128,
-        levels=levels,
+        theta=int(z["theta"]), sub=sub, levels=levels,
         realmask=jnp.asarray(z["realmask"]), new_of_old=z["new_of_old"],
         n_bcast=int(z["n_bcast"]) if "n_bcast" in z else 0,
-        layout=str(z["layout"]) if "layout" in z else "classic",
+        layout=layout,
     )
 
 

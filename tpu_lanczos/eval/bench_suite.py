@@ -29,7 +29,7 @@ CONFIGS = [
          analog="bn1000000e9999944", ref_s=0.4166, ref_s_k100=0.8096,
          pack=dict(sub=512)),
     dict(name="uniform_1M_e10M", kind="uniform", n=1_000_000, e=10_000_000,
-         analog=None, ref_s=None),
+         analog=None, ref_s=None, pack=dict(sub=512, order="degree")),
     dict(name="stencil_1400", kind="stencil", side=1400,
          analog="mesh-class (California-adaptive scale)", ref_s=None),
     dict(name="stencil_2600", kind="stencil", side=2600,

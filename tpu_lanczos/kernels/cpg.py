@@ -49,7 +49,7 @@ LANE = 128
 REAL_LANES = 127           # lane 127 is the structural zero lane
 # bump when pack output changes (cache files embed this in their name so
 # stale packs from older packer versions are not silently reused)
-PACK_VERSION = 3
+PACK_VERSION = 4
 # every level keeps >= this many ghost tiles past its real ones so the
 # kernel's batched group DMA (spmv_cpg._U_MAX tiles per copy) can start
 # at the last real tile without running off the arrays
@@ -596,23 +596,29 @@ def _pack_split(graph, rows, cols, n, theta, theta_s, sub, order,
     bc_src = np.repeat(np.arange(n), s_extra)
     bc_dst = n_units_d + np.arange(n_copies)
 
-    # reduce tree over the dest virtuals (deep rows recurse; same
-    # grouping scheme as the legacy path)
-    reduce_edges = []
+    # reduce tree over the dest virtuals (deep rows recurse).  Only the
+    # STRUCTURE (parents, part counts, virtual ids) is fixed here; WHICH
+    # part a child reports to is dealt later against actual positions —
+    # consecutive assignment let hub parents stack up to theta same-cell
+    # entries per (child-chunk, parent-chunk) block, making the reduce
+    # level tier-bound (rmat-540k: 1105 of 2684 tiles in round 2).
+    reduce_rounds = []
     cur_src = n + np.arange(n_units_d - n)
     cur_dst = np.repeat(np.arange(n), d_extra)
     while cur_src.size:
         rsort = np.argsort(cur_dst, kind="stable")
-        r_rows, r_cols = cur_dst[rsort], cur_src[rsort]
-        uniq, inv = np.unique(r_rows, return_inverse=True)
-        unit2, n_units2, parents2 = _split_rows(inv, r_cols, uniq.size, theta)
-        n_new = n_units2 - uniq.size
-        new_ids = np.arange(n_units, n_units + n_new)
-        unit_map = np.concatenate([uniq, new_ids])
-        reduce_edges.append((r_cols, unit_map[unit2]))
+        pa, ch = cur_dst[rsort], cur_src[rsort]
+        uniq, counts = np.unique(pa, return_counts=True)
+        parts = (counts + theta - 1) // theta
+        extra = parts - 1
+        base = np.zeros(uniq.size, dtype=np.int64)
+        base[1:] = np.cumsum(extra)[:-1]
+        base += n_units
+        n_new = int(extra.sum())
+        reduce_rounds.append((ch, pa, uniq, parts, base))
         n_units += n_new
-        cur_src = new_ids
-        cur_dst = uniq[parents2]
+        cur_src = np.arange(n_units - n_new, n_units)
+        cur_dst = np.repeat(uniq, extra)
 
     # ---- ordering (capped-degree estimates; scanner-validated)
     deg_u = np.full(n_units, theta, dtype=np.int64)  # virtuals ~ theta
@@ -655,9 +661,30 @@ def _pack_split(graph, rows, cols, n, theta, theta_s, sub, order,
             sunit = np.where(spart == 0, cols, s_base[cols] + spart - 1)
         else:
             sunit = cols
-        return dunit, sunit
 
-    dunit, sunit = deal(pos_of)
+        # ---- reduce-tree dealing (which part a child folds into)
+        reduce_edges = []
+        for ch, pa, uniq, parts, base in reduce_rounds:
+            parts_of = np.zeros(n_units, dtype=np.int64)
+            parts_of[uniq] = parts
+            base_of = np.zeros(n_units, dtype=np.int64)
+            base_of[uniq] = base
+            if redeal:
+                ch_chunk = pos_of[ch] // (sub * LANE)
+                rpart = _group_deal(pa, ch_chunk, parts_of)
+            else:
+                # consecutive within each parent's (sorted) child run
+                newp = np.ones(pa.size, dtype=bool)
+                newp[1:] = pa[1:] != pa[:-1]
+                gstart = np.zeros(pa.size, dtype=np.int64)
+                gstart[newp] = np.nonzero(newp)[0]
+                gstart = np.maximum.accumulate(gstart)
+                rpart = (np.arange(pa.size) - gstart) // theta
+            rdst = np.where(rpart == 0, pa, base_of[pa] + rpart - 1)
+            reduce_edges.append((ch, rdst))
+        return dunit, sunit, reduce_edges
+
+    dunit, sunit, reduce_edges = deal(pos_of)
 
     build = _build_cpg_level_slab if layout == "slab" else _build_cpg_level
     levels = []

@@ -162,3 +162,62 @@ def test_native_split_rows_matches_numpy():
     assert n1 == g.n + int(extra.sum())
     np.testing.assert_array_equal(u1, unit)
     np.testing.assert_array_equal(p1, np.repeat(np.arange(g.n), extra))
+
+
+def test_alloc_aux_fold_recipe():
+    """Aux-region allocator: pow2 lane segments whose group sums are a
+    plain reshape-sum (the fold/spread layout the round-2 design study
+    measured — kept for the scanner; see docs/DESIGN.md)."""
+    from tpu_lanczos.kernels.cpg import LANE, _alloc_aux
+
+    rng = np.random.default_rng(0)
+    sizes = np.concatenate([rng.integers(1, 400, 50),
+                            [1, 2, 127, 128, 129, 1000]])
+    pos, info = _alloc_aux(sizes, base_row=10)
+    assert pos.size == sizes.sum()
+    assert np.unique(pos).size == pos.size          # no collisions
+    assert (pos % LANE != 127).all()                # lane 127 never used
+    rows = pos // LANE
+    assert rows.min() >= 10 and rows.max() < 10 + info["rows"]
+    # simulate the fold and check exact group sums
+    region = np.zeros((10 + info["rows"], LANE))
+    vals = rng.standard_normal(pos.size)
+    region[pos // LANE, pos % LANE] = vals
+    outs = []
+    for (w, r0, nr, nseg) in info["folds"]:
+        s = region[r0:r0 + nr].reshape(nr, LANE // w, w).sum(-1)
+        outs.append(s.ravel()[:nseg])
+    out = np.concatenate(outs)
+    assert out.size == info["out_group"].size == info["seg_pos"].size
+    gsum = np.zeros(sizes.size)
+    np.add.at(gsum, info["out_group"], out)
+    off = np.concatenate([[0], np.cumsum(sizes)])
+    goal = np.add.reduceat(vals, off[:-1])
+    np.testing.assert_allclose(gsum, goal, rtol=1e-12)
+    # empty input
+    pos0, info0 = _alloc_aux(np.zeros(0, np.int64), base_row=0)
+    assert pos0.size == 0 and info0["rows"] == 0
+
+
+def test_group_deal_native_matches_numpy():
+    """The native gc_group_deal must reproduce the numpy dealing
+    bit-for-bit (stable sort order, group stagger, modulo parts)."""
+    from tpu_lanczos.graphs import native
+    from tpu_lanczos.kernels.cpg import _group_deal_np
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native core unavailable")
+    rng = np.random.default_rng(3)
+    E, P = 200_000, 500
+    parent = rng.integers(0, P, E)
+    opp = rng.integers(0, 40, E)
+    n_parts = rng.integers(1, 9, P)
+    got = native.group_deal(parent, opp, n_parts)
+    want = _group_deal_np(parent, opp, n_parts)
+    np.testing.assert_array_equal(got, want)
+    # degenerate: single group, parts=1 -> all zeros
+    got1 = native.group_deal(np.zeros(10, np.int64), np.zeros(10, np.int64),
+                             np.ones(1, np.int64))
+    np.testing.assert_array_equal(got1, 0)

@@ -55,7 +55,7 @@ def test_bench_suite_config_shapes():
     small = dict(name="t", kind="stencil", side=10)
     g = build(small)
     assert g.n == 100
-    assert {c["kind"] for c in CONFIGS} <= {"barabasi", "uniform", "stencil", "stencil3d", "rmat"}
+    assert {c["kind"] for c in CONFIGS} <= {"barabasi", "uniform", "stencil", "stencil3d", "rmat", "clique"}
 
 
 def test_pack_scan_estimates_match_actual_pack():

@@ -77,3 +77,23 @@ def test_stencil_2d():
     assert g.n == 25
     assert g.edge_count == 2 * 5 * 4  # grid edges
     assert g.max_degree == 4
+
+
+def test_clique_union_properties():
+    """coPapersDBLP-class generator: community-local cliques, no hubs."""
+    g = generators.clique_union(6400, 14_000, seed=0, comm=64, size=8)
+    g.validate()
+    # mean degree lands near the coPapersDBLP ~56 class target
+    assert 40 < g.nnz / g.n < 75
+    # clique union inside small communities: bounded max degree (no
+    # power-law tail), so the pack needs no row splitting
+    assert g.max_degree < 2 * 64
+    # community locality: the vast majority of edges stay within a
+    # two-community window of the diagonal (what makes this class pack
+    # near-diagonal, like the real co-authorship graph)
+    rows = g.row_ids()
+    local = np.abs(rows - g.indices) < 2 * 64
+    assert local.mean() > 0.95
+    # determinism
+    g2 = generators.clique_union(6400, 14_000, seed=0, comm=64, size=8)
+    np.testing.assert_array_equal(g.indices, g2.indices)

@@ -155,6 +155,124 @@ def scan_config(g, theta: int, theta_s: int | None, sub: int,
                 pred_k50_s=round(pred_s, 4))
 
 
+def scan_config_aux(g, theta: int, theta_s: int | None, sub: int,
+                    order: str = "degree", interleave: bool = False) -> dict:
+    """Estimate tiles/time for the FOLD/SPREAD aux-region layout:
+    virtual rows and source copies live in dedicated pow2-segment
+    regions folded/spread by plain XLA reshape-sums, so the reduce and
+    broadcast CPG levels collapse to two tiny seed/delivery levels.
+    """
+    from tpu_lanczos.kernels.cpg import _alloc_aux
+
+    rows = g.row_ids().astype(np.int64)
+    cols = g.indices.astype(np.int64)
+    n = g.n
+
+    ddeg = np.bincount(rows, minlength=n)
+    d_parts = _split_counts(ddeg, theta)
+    d_extra = np.maximum(d_parts - 1, 0)
+    sdeg = np.bincount(cols, minlength=n)
+    s_parts = _split_counts(sdeg, theta_s) if theta_s else np.ones(n, np.int64)
+    s_extra = np.maximum(s_parts - 1, 0)
+
+    # real units only in the main rank space
+    deg_u = (np.minimum(ddeg, theta)
+             + (np.minimum(sdeg, theta_s) if theta_s else 0))
+    if order == "degree":
+        srt = np.argsort(-deg_u, kind="stable")
+        rank = np.empty(n, dtype=np.int64)
+        rank[srt] = np.arange(n)
+    else:
+        rank = np.arange(n, dtype=np.int64)
+
+    # allocate aux regions linearly (region row space), sized first
+    s_ids = np.nonzero(s_extra)[0]
+    d_ids = np.nonzero(d_extra)[0]
+    row0 = 0
+    pos_s, info_s = _alloc_aux(s_extra[s_ids], row0)
+    row0 += info_s["rows"]
+    pos_d, info_d = _alloc_aux(d_extra[d_ids], row0)
+    row0 += info_d["rows"]
+    ms = info_d["multi_sizes"]
+    while ms.size:  # deeper rounds are pure folds: no tiles
+        _, info_r = _alloc_aux(ms, row0)
+        row0 += info_r["rows"]
+        ms = info_r["multi_sizes"]
+    pos_del, info_del = _alloc_aux(np.ones(d_ids.size, np.int64), row0)
+    aux_rows = row0 + info_del["rows"]
+
+    r_real = int(np.ceil(n / REAL_LANES))
+    if interleave:
+        # reserve a band of R sublanes at the top of every chunk
+        c = max(int(np.ceil((r_real + aux_rows) / sub)), 1)
+        for _ in range(12):
+            band = int(np.ceil(aux_rows / c))
+            c2 = max(int(np.ceil(r_real / max(sub - band, 1))), 1)
+            if c2 <= c:
+                break
+            c = c2
+        band = int(np.ceil(aux_rows / c))
+        c_main = c
+        sub_eff = sub - band
+        assert sub_eff >= 1, (sub, band)
+        chunk = rank // (sub_eff * REAL_LANES)
+        w = rank % (sub_eff * REAL_LANES)
+        pos_real = (chunk * sub + w // REAL_LANES) * LANE + w % REAL_LANES
+
+        def map_aux(p):
+            r, lane = p // LANE, p % LANE
+            grow = (r // band) * sub + sub_eff + (r % band)
+            return grow * LANE + lane
+
+        pos_s, pos_d, pos_del = map_aux(pos_s), map_aux(pos_d), \
+            map_aux(pos_del)
+        seg_pos_s = map_aux(info_s["seg_pos"])
+        n_chunks = c_main
+    else:
+        pos_real = _pos_of_unit(rank, sub)
+        c_main = int(np.ceil(n / (sub * REAL_LANES)))
+        off = c_main * sub * LANE
+        pos_s, pos_d, pos_del = pos_s + off, pos_d + off, pos_del + off
+        seg_pos_s = info_s["seg_pos"] + off
+        n_chunks = c_main + int(np.ceil(aux_rows / sub))
+
+    d_base = np.zeros(n, np.int64)
+    d_base[d_ids] = np.cumsum(d_extra[d_ids]) - d_extra[d_ids]
+    s_base = np.zeros(n, np.int64)
+    s_base[s_ids] = np.cumsum(s_extra[s_ids]) - s_extra[s_ids]
+
+    # dealing (block-aware, same as the packer's redeal path)
+    s_chunk_of_entry = pos_real[cols] // (sub * LANE)
+    dpart = _group_deal(rows, s_chunk_of_entry, d_parts)
+    dst_pos = np.where(dpart == 0, pos_real[rows],
+                       pos_d[d_base[rows] + dpart - 1] if pos_d.size
+                       else pos_real[rows])
+    if theta_s:
+        d_chunk_of_entry = dst_pos // (sub * LANE)
+        spart = _group_deal(cols, d_chunk_of_entry, s_parts)
+        src_pos = np.where(spart == 0, pos_real[cols],
+                           pos_s[s_base[cols] + spart - 1] if pos_s.size
+                           else pos_real[cols])
+    else:
+        src_pos = pos_real[cols]
+
+    levels = [est_level_tiles(src_pos, dst_pos, sub)]
+    if info_s["out_group"].size:
+        # seed level: one entry per x-side segment
+        levels.append(est_level_tiles(
+            pos_real[s_ids[info_s["out_group"]]], seg_pos_s, sub))
+    if d_ids.size:
+        # delivery level: one entry per split parent
+        levels.append(est_level_tiles(pos_del, pos_real[d_ids], sub))
+    total = sum(t for t, _ in levels)
+    pred_s = 50 * total * cyc_per_tile(sub) / CLOCK_HZ
+    return dict(theta=theta, theta_s=theta_s, sub=sub, order=order,
+                aux=True, interleave=interleave, n_chunks=n_chunks,
+                c_main=c_main, aux_rows=aux_rows,
+                levels=levels, total_tiles=total,
+                pred_k50_s=round(pred_s, 4))
+
+
 _KINDS = {
     "ba300k": (lambda G: G.barabasi_albert(300_000, 9, seed=7), None),
     "bn1M": (lambda G: G.barabasi_albert(1_000_000, 10, seed=0), 0.4166),
@@ -171,6 +289,8 @@ def main(argv=None):
     ap.add_argument("--kind", default="rmat540", choices=sorted(_KINDS))
     ap.add_argument("--spec", action="append", default=[],
                     help="theta,theta_s|none,sub,order,redeal(0/1)")
+    ap.add_argument("--aux", action="store_true",
+                    help="scan the fold/spread aux-region layout instead")
     args = ap.parse_args(argv)
     gen, ref = _KINDS[args.kind]
     g = gen(generators)
@@ -180,8 +300,14 @@ def main(argv=None):
     for spec in specs:
         th, ths, sb, od, rd = spec.split(",")
         t0 = time.time()
-        r = scan_config(g, int(th), None if ths == "none" else int(ths),
-                        int(sb), order=od, redeal=rd == "1")
+        if args.aux:
+            r = scan_config_aux(g, int(th),
+                                None if ths == "none" else int(ths),
+                                int(sb), order=od,
+                                interleave=rd == "1")
+        else:
+            r = scan_config(g, int(th), None if ths == "none" else int(ths),
+                            int(sb), order=od, redeal=rd == "1")
         if ref:
             r["pred_vs_ref"] = round(ref / r["pred_k50_s"], 2)
         r["scan_s"] = round(time.time() - t0, 1)

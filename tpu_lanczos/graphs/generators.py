@@ -176,6 +176,45 @@ def stencil_3d(nx: int, ny: int, nz: int) -> CSRGraph:
     return CSRGraph.from_edges(n, np.concatenate(parts, axis=0))
 
 
+def clique_union(
+    n: int,
+    papers: int,
+    seed: int = 0,
+    comm: int = 64,
+    size: int = 8,
+    cross_frac: float = 0.1,
+) -> CSRGraph:
+    """Co-authorship graph: a union of small cliques inside communities.
+
+    The reference's best-speedup benchmark graph, coPapersDBLP (n=540K,
+    nnz=30M, mean degree ~56 — final_output1.txt:176, 24x CUDA-vs-serial),
+    is a co-authorship network: every paper contributes a clique over its
+    authors, and authors cluster into fields, so a natural vertex order
+    concentrates edges near the diagonal.  This generator reproduces that
+    class: ``papers`` cliques of ``size`` authors sampled (with
+    replacement) from one ``comm``-sized community each; a ``cross_frac``
+    fraction of papers spans two adjacent communities.  An R-MAT analog
+    (see ``rmat``) carries social-graph skew instead, which is a strictly
+    harder layout case — the suite benchmarks both.
+    """
+    if n < comm or papers < 1:
+        raise ValueError("need n >= comm and papers >= 1")
+    rng = np.random.default_rng(seed)
+    n_comm = n // comm
+    cid = rng.integers(0, n_comm, papers)
+    width = np.full(papers, comm, dtype=np.int64)
+    cross = rng.random(papers) < cross_frac
+    width[cross & (cid < n_comm - 1)] = 2 * comm
+    authors = cid[:, None] * comm + rng.integers(
+        0, width[:, None], (papers, size)
+    )
+    iu, ju = np.triu_indices(size, k=1)
+    edges = np.stack(
+        [authors[:, iu].ravel(), authors[:, ju].ravel()], axis=1
+    )
+    return CSRGraph.from_edges(n, edges)
+
+
 def stencil_2d(side: int) -> CSRGraph:
     """5-point 2D grid graph (the reference declared a stencil generator but
     left it a stub — serial/lib/make_graph.cc 'stencil stub (allocates

@@ -98,6 +98,8 @@ def _load():
         lib.gc_cpgl_free.argtypes = [c_p]
         lib.gc_split_rows.restype = c_i64
         lib.gc_split_rows.argtypes = [c_i64, c_i64, c_i64, c_p, c_p, c_p]
+        lib.gc_group_deal.restype = None
+        lib.gc_group_deal.argtypes = [c_i64, c_p, c_p, c_p, c_p]
         _lib = lib
         return _lib
 
@@ -302,3 +304,19 @@ def edge_color(a_ids: np.ndarray, b_ids: np.ndarray) -> np.ndarray:
     return colors
 
 
+
+
+def group_deal(parent: np.ndarray, opp_chunk: np.ndarray,
+               n_parts_of: np.ndarray) -> np.ndarray:
+    """Native block-aware dealing (cpg.py _group_deal semantics):
+    radix-sorted (parent, opp_chunk) groups, round-robin part
+    assignment staggered by group id."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native core unavailable: {_build_error}")
+    p = np.ascontiguousarray(parent, dtype=np.int64)
+    o = np.ascontiguousarray(opp_chunk, dtype=np.int64)
+    npar = np.ascontiguousarray(n_parts_of, dtype=np.int64)
+    out = np.empty(p.size, dtype=np.int64)
+    lib.gc_group_deal(p.size, _ptr(p), _ptr(o), _ptr(npar), _ptr(out))
+    return out

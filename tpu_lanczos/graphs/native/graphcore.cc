@@ -900,3 +900,35 @@ extern "C" int64_t gc_compact_i64(int64_t n, const int64_t *keys,
 }
 
 
+
+// Block-aware dealing (cpg.py _group_deal): within each
+// (parent, opposite-chunk) group — groups ordered by sorted key,
+// entries in original order (stable) — deal entries round-robin over
+// the parent's parts, staggered by the global group counter.
+// part_out[e] in [0, n_parts_of[parent[e]]); 0 means "ride the parent".
+extern "C" void gc_group_deal(int64_t n, const int64_t *parent,
+                              const int64_t *opp_chunk,
+                              const int64_t *n_parts_of,
+                              int64_t *part_out) {
+  if (n == 0) return;
+  std::vector<int64_t> keys(static_cast<size_t>(n));
+  for (int64_t i = 0; i < n; ++i)
+    keys[static_cast<size_t>(i)] = (parent[i] << 24) + opp_chunk[i];
+  std::vector<int64_t> order;
+  radix_argsort(n, keys.data(), order);
+  int64_t gid = -1, within = 0;
+  int64_t prev = INT64_MIN;
+  for (int64_t k = 0; k < n; ++k) {
+    const int64_t i = order[static_cast<size_t>(k)];
+    const int64_t key = keys[static_cast<size_t>(i)];
+    if (key != prev) {
+      ++gid;
+      within = 0;
+      prev = key;
+    }
+    int64_t np = n_parts_of[parent[i]];
+    if (np < 1) np = 1;
+    part_out[i] = (within + gid) % np;
+    ++within;
+  }
+}

@@ -200,6 +200,111 @@ def _pos_of_unit(rank: np.ndarray, sub: int) -> np.ndarray:
     return (chunk * sub + s) * LANE + lane
 
 
+def _alloc_aux(sizes: np.ndarray, base_row: int):
+    """Allocate group-structured aux cells in pow2-width lane segments.
+
+    The fold/spread regions (virtual-row partials, split-source copies)
+    need layouts where a per-group sum/broadcast is a plain XLA
+    ``reshape(-1, 128//W, W).sum(-1)`` — no routing tiles.  Each group
+    of ``sizes[g]`` members gets one segment of width W = pow2ceil
+    (size+1) (capacity W-1) when size <= 127, else ceil(size/127)
+    full 128-lane rows (capacity 127 each).  The "+1" keeps the LAST
+    lane of every segment unpopulated, so lane 127 — the structural
+    zero lane every ghost gather reads — is never written.
+
+    Layout order: big groups' rows first (one segment per row, group-
+    major), then single-segment buckets in descending W; segments pack
+    128//W per row.  Waste is < 2x the member count.
+
+    Returns ``(pos, info)``:
+      pos[i]: global padded position (row*128 + lane) of member i,
+        group-major (ascending group index, then member order);
+      info: static fold recipe --
+        rows: total rows consumed,
+        folds: ordered (W, row0, n_rows, n_seg) steps; fold outputs
+          concatenate in this order (multi rows first),
+        n_multi_out: leading output slots that are per-segment partials
+          of big groups (they feed the next fold round),
+        multi_sizes: segment count per big group (next round's sizes),
+        out_group: (n_out,) group index of every output slot,
+        seg_pos: (n_out,) position of each output slot's segment start.
+    """
+    sizes = np.asarray(sizes, dtype=np.int64)
+    G = sizes.size
+    if G == 0:
+        return np.zeros(0, np.int64), dict(
+            rows=0, folds=[], n_multi_out=0,
+            multi_sizes=np.zeros(0, np.int64),
+            out_group=np.zeros(0, np.int64),
+            seg_pos=np.zeros(0, np.int64))
+    assert sizes.min() >= 1
+    big = sizes > REAL_LANES
+    nseg_big = np.where(big, (sizes + REAL_LANES - 1) // REAL_LANES, 0)
+    n_multi = int(nseg_big.sum())
+    # width per single-segment group (big groups marked 0)
+    W = np.zeros(G, np.int64)
+    ns = ~big
+    if ns.any():
+        W[ns] = 2 ** np.ceil(np.log2(sizes[ns] + 1)).astype(np.int64)
+
+    row_of = np.zeros(G, np.int64)      # first row of the group
+    lane0_of = np.zeros(G, np.int64)    # segment start lane (single)
+    seg_row0_big = np.zeros(G, np.int64)
+    seg_row0_big[big] = base_row + np.cumsum(nseg_big[big]) - nseg_big[big]
+
+    folds = []
+    out_group_parts = []
+    seg_pos_parts = []
+    if n_multi:
+        folds.append((LANE, base_row, n_multi, n_multi))
+        out_group_parts.append(np.repeat(np.nonzero(big)[0], nseg_big[big]))
+        rows_m = np.concatenate([
+            np.arange(seg_row0_big[g], seg_row0_big[g] + nseg_big[g])
+            for g in np.nonzero(big)[0]
+        ]) if n_multi else np.zeros(0, np.int64)
+        seg_pos_parts.append(rows_m * LANE)
+    row = base_row + n_multi
+    for w in (128, 64, 32, 16, 8, 4, 2):
+        sel = np.nonzero(W == w)[0]
+        if sel.size == 0:
+            continue
+        k = LANE // w
+        seg = np.arange(sel.size)
+        row_of[sel] = row + seg // k
+        lane0_of[sel] = (seg % k) * w
+        n_rows = (sel.size + k - 1) // k
+        folds.append((w, row, n_rows, sel.size))
+        out_group_parts.append(sel)
+        seg_pos_parts.append(row_of[sel] * LANE + lane0_of[sel])
+        row += n_rows
+
+    total = int(sizes.sum())
+    off = np.zeros(G + 1, np.int64)
+    np.cumsum(sizes, out=off[1:])
+    member_group = np.repeat(np.arange(G), sizes)
+    within = np.arange(total) - off[member_group]
+    pos = np.empty(total, np.int64)
+    mb = big[member_group]
+    if mb.any():
+        g = member_group[mb]
+        w_ = within[mb]
+        pos[mb] = ((seg_row0_big[g] + w_ // REAL_LANES) * LANE
+                   + w_ % REAL_LANES)
+    if (~mb).any():
+        g = member_group[~mb]
+        pos[~mb] = row_of[g] * LANE + lane0_of[g] + within[~mb]
+    return pos, dict(
+        rows=row - base_row,
+        folds=folds,
+        n_multi_out=n_multi,
+        multi_sizes=nseg_big[big],
+        out_group=(np.concatenate(out_group_parts)
+                   if out_group_parts else np.zeros(0, np.int64)),
+        seg_pos=(np.concatenate(seg_pos_parts)
+                 if seg_pos_parts else np.zeros(0, np.int64)),
+    )
+
+
 def _build_cpg_level(src_pos: np.ndarray, dst_pos: np.ndarray, sub: int):
     """Build tile arrays for one delivery pass from endpoint positions.
 
@@ -431,7 +536,25 @@ def _group_deal(parent: np.ndarray, opp_chunk: np.ndarray,
     within-row dealing is block-blind, so per-(S,D)-block load matrices
     keep Poisson tails that set the Konig tile count; per-group dealing
     flattens each block's load toward the mean (measured 2-3x fewer
-    tiles on R-MAT/BA expanders, docs/DESIGN.md)."""
+    tiles on R-MAT/BA expanders, docs/DESIGN.md).
+
+    Dispatches to the native radix-sort implementation (graphcore.cc
+    gc_group_deal) when available — the dominant pack-time cost is this
+    function's key sort; the numpy path below is the portable fallback
+    and its correctness oracle (tests/test_cpg.py cross-checks)."""
+    try:
+        from tpu_lanczos.graphs import native
+
+        if native.available():
+            return native.group_deal(parent, opp_chunk, n_parts_of)
+    except Exception:
+        pass
+    return _group_deal_np(parent, opp_chunk, n_parts_of)
+
+
+def _group_deal_np(parent: np.ndarray, opp_chunk: np.ndarray,
+                   n_parts_of: np.ndarray) -> np.ndarray:
+    """Numpy reference implementation of block-aware dealing."""
     key = parent.astype(np.int64) * (1 << 24) + opp_chunk
     srt = np.argsort(key, kind="stable")
     ks = key[srt]

@@ -21,6 +21,8 @@ GRAPHS = {
     "barabasi": lambda: generators.barabasi_albert(2000, 8, seed=2, use_native=False),
     "stencil": lambda: generators.stencil_2d(40),
     "multichunk": lambda: generators.barabasi_albert(40000, 6, seed=3, use_native=False),
+    # coPapersDBLP class: community-local clique union, locality order
+    "clique": lambda: generators.clique_union(25600, 60000, seed=4),
 }
 
 

@@ -27,7 +27,7 @@ import numpy as np
 CONFIGS = [
     dict(name="ba_1M_m10", kind="barabasi", n=1_000_000, m=10,
          analog="bn1000000e9999944", ref_s=0.4166, ref_s_k100=0.8096,
-         pack=dict(sub=512)),
+         pack=dict(sub=512, theta=150)),
     dict(name="uniform_1M_e10M", kind="uniform", n=1_000_000, e=10_000_000,
          analog=None, ref_s=None, pack=dict(sub=512, order="degree")),
     dict(name="stencil_1400", kind="stencil", side=1400,
@@ -49,16 +49,16 @@ CONFIGS = [
     dict(name="rmat_540k_e15M", kind="rmat", n=540_000, e=15_250_000,
          analog="coPapersDBLP scale with R-MAT social-graph skew instead "
                 "of clique locality (strictly harder layout stress case)",
-         ref_s=0.1200, ref_s_k100=0.3276, pack=dict(sub=256)),
+         ref_s=0.1200, ref_s_k100=0.3276, pack=dict(sub=256, theta=300)),
     dict(name="rmat_4M_e35M", kind="rmat", n=4_000_000, e=34_700_000,
          analog="com-LiveJournal n=4.0M nnz=69M (social; R-MAT carries "
                 "the real graph's skew + community structure)",
-         ref_s=1.3245, ref_s_k100=2.5756, pack=dict(sub=512)),
+         ref_s=1.3245, ref_s_k100=2.5756, pack=dict(sub=512, theta=300)),
     dict(name="ba_4M_m9", kind="barabasi", n=4_000_000, m=9,
          analog="com-LiveJournal scale, pure preferential-attachment "
                 "expander (no community structure: adversarial stress "
                 "case, strictly harder than the real graph)",
-         ref_s=1.3245, ref_s_k100=2.5756, pack=dict(sub=512)),
+         ref_s=1.3245, ref_s_k100=2.5756, pack=dict(sub=512, theta=200)),
 ]
 
 HBM_GBPS = 819.0  # v5e

@@ -49,7 +49,7 @@ LANE = 128
 REAL_LANES = 127           # lane 127 is the structural zero lane
 # bump when pack output changes (cache files embed this in their name so
 # stale packs from older packer versions are not silently reused)
-PACK_VERSION = 4
+PACK_VERSION = 5
 # every level keeps >= this many ghost tiles past its real ones so the
 # kernel's batched group DMA (spmv_cpg._U_MAX tiles per copy) can start
 # at the last real tile without running off the arrays
@@ -619,8 +619,21 @@ def pack_cpg(
         cv = float(degrees0.std() / max(d_mean0, 1e-9))
         order = "locality" if cv < 0.5 else "degree"
     if theta is None:
+        # Row-split cap.  Splitting finer than the ambient per-block
+        # collision tail buys nothing and pays block-opening floors, so
+        # theta tracks the degree distribution's tail, not its mean:
+        # theta* ~ 1.5 * p99(degree), floored by the round-1 mean-based
+        # formula (which meshes/uniform graphs stay under — their packs
+        # are unchanged) and capped at 360 (unsplit hubs make per-block
+        # dest-cell maxima explode: theta=900+ on the extreme-skew R-MAT
+        # 540k blew tiles/RAM up).  Measured optima (real packs):
+        # bn1M 150 (p99=104), rmat-4M 300 (p99=184), ba-4M 200-300
+        # (p99=94), rmat-540k 300+ (p99=1162); the old cap of 120 cost
+        # 9-40% extra tiles.
         d_mean = max(graph.nnz / max(n, 1), 1.0)
-        theta = int(min(max(2 * d_mean + 8 * np.sqrt(d_mean), 16), 120))
+        floor = max(2 * d_mean + 8 * np.sqrt(d_mean), 16)
+        p99 = float(np.percentile(degrees0, 99)) if n else 0.0
+        theta = int(min(max(floor, 1.5 * p99), 360))
     if theta_s == "auto":
         theta_s = theta if order == "degree" else None
     if redeal is None:

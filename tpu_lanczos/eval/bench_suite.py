@@ -64,6 +64,29 @@ CONFIGS = [
 HBM_GBPS = 819.0  # v5e
 
 
+def pack_cache_path(cfg, cache_dir=".bench_cache"):
+    """Canonical pack-cache file for a suite config — the single source
+    of the filename template (prewarm writes it, run_one reads it)."""
+    import os
+
+    from tpu_lanczos.kernels.cpg import PACK_VERSION
+
+    pack_kw = cfg.get("pack") or {}
+    tag = "".join(f"_{key}{val}" for key, val in sorted(pack_kw.items()))
+    return os.path.join(
+        cache_dir, f"suite_{cfg['name']}_cpg_v{PACK_VERSION}{tag}.npz")
+
+
+def save_pack_cache(dg, path, pack_s):
+    """save_cpg + embed the uncached pack wall time for reporting."""
+    from tpu_lanczos.kernels.cpg import save_cpg
+
+    save_cpg(dg, path)
+    z = dict(np.load(path))
+    z["pack_s"] = pack_s
+    np.savez(path, **z)
+
+
 def build(cfg):
     from tpu_lanczos.graphs import generators
 
@@ -100,13 +123,8 @@ def run_one(cfg, k=50, reps=3, cache_dir=".bench_cache"):
     # k-sweeps and re-runs reuse it; pack_s is reported from the original
     # uncached pack (recorded beside the cache)
     os.makedirs(cache_dir, exist_ok=True)
-    from tpu_lanczos.kernels.cpg import PACK_VERSION
-
     pack_kw = cfg.get("pack") or {}
-    tag = "".join(f"_{k}{v}" for k, v in sorted(pack_kw.items()))
-    cpath = os.path.join(
-        cache_dir, f"suite_{cfg['name']}_cpg_v{PACK_VERSION}{tag}.npz"
-    )
+    cpath = pack_cache_path(cfg, cache_dir)
     dg = None
     t_pack = None
     if os.path.exists(cpath) and jax.default_backend() not in ("cpu", "gpu"):
@@ -128,12 +146,7 @@ def run_one(cfg, k=50, reps=3, cache_dir=".bench_cache"):
         t_pack = time.time() - t0
         if type(dg).__name__ == "CPGGraph":
             try:
-                from tpu_lanczos.kernels.cpg import save_cpg
-
-                save_cpg(dg, cpath)
-                z = dict(np.load(cpath))
-                z["pack_s"] = t_pack
-                np.savez(cpath, **z)
+                save_pack_cache(dg, cpath, t_pack)
             except Exception:
                 pass
     x = jnp.asarray(dg.permute_in(np.ones(g.n), np.float32))

@@ -66,25 +66,40 @@ def est_level_tiles(src_pos: np.ndarray, dst_pos: np.ndarray, sub: int):
     return int(delta.sum()), int(ub.size)
 
 
+def _splits(g, theta: int, theta_s: int | None):
+    """Shared preamble: endpoint arrays + dest/source split bookkeeping
+    (must mirror pack_cpg's _pack_split semantics — one copy only)."""
+    rows = g.row_ids().astype(np.int64)
+    cols = g.indices.astype(np.int64)
+    n = g.n
+    ddeg = np.bincount(rows, minlength=n)
+    d_parts = _split_counts(ddeg, theta)
+    d_extra = np.maximum(d_parts - 1, 0)
+    sdeg = np.bincount(cols, minlength=n)
+    s_parts = _split_counts(sdeg, theta_s) if theta_s else np.ones(n, np.int64)
+    s_extra = np.maximum(s_parts - 1, 0)
+    return rows, cols, n, ddeg, d_parts, d_extra, sdeg, s_parts, s_extra
+
+
+def _degree_rank(deg_u: np.ndarray, order: str) -> np.ndarray:
+    if order != "degree":
+        return np.arange(deg_u.size, dtype=np.int64)
+    srt = np.argsort(-deg_u, kind="stable")
+    rank = np.empty(deg_u.size, dtype=np.int64)
+    rank[srt] = np.arange(deg_u.size)
+    return rank
+
+
 def scan_config(g, theta: int, theta_s: int | None, sub: int,
                 order: str = "degree", redeal: bool = True) -> dict:
     """Estimate tiles/time for one pack config (single-level reduce-tree
     approximation — exact for rows with <= theta^2 degree)."""
-    rows = g.row_ids().astype(np.int64)
-    cols = g.indices.astype(np.int64)
-    n = g.n
-
-    ddeg = np.bincount(rows, minlength=n)
-    d_parts = _split_counts(ddeg, theta)
-    d_extra = np.maximum(d_parts - 1, 0)
+    (rows, cols, n, ddeg, d_parts, d_extra,
+     sdeg, s_parts, s_extra) = _splits(g, theta, theta_s)
     d_base = np.zeros(n, np.int64)
     d_base[1:] = np.cumsum(d_extra)[:-1]
     n_units = n + int(d_extra.sum())
     d_base += n
-
-    sdeg = np.bincount(cols, minlength=n)
-    s_parts = _split_counts(sdeg, theta_s) if theta_s else np.ones(n, np.int64)
-    s_extra = np.maximum(s_parts - 1, 0)
     s_base = np.zeros(n, np.int64)
     s_base[1:] = np.cumsum(s_extra)[:-1]
     s_base += n_units
@@ -109,12 +124,7 @@ def scan_config(g, theta: int, theta_s: int | None, sub: int,
         deg_u[r_src] = theta
     if bc_dst.size:
         deg_u[bc_dst] = theta_s
-    if order == "degree":
-        srt = np.argsort(-deg_u, kind="stable")
-        rank = np.empty(n_units, dtype=np.int64)
-        rank[srt] = np.arange(n_units)
-    else:
-        rank = np.arange(n_units, dtype=np.int64)
+    rank = _degree_rank(deg_u, order)
     pos = _pos_of_unit(rank, sub)
     n_chunks = int(np.ceil(n_units / (sub * REAL_LANES)))
 
@@ -164,26 +174,13 @@ def scan_config_aux(g, theta: int, theta_s: int | None, sub: int,
     """
     from tpu_lanczos.kernels.cpg import _alloc_aux
 
-    rows = g.row_ids().astype(np.int64)
-    cols = g.indices.astype(np.int64)
-    n = g.n
-
-    ddeg = np.bincount(rows, minlength=n)
-    d_parts = _split_counts(ddeg, theta)
-    d_extra = np.maximum(d_parts - 1, 0)
-    sdeg = np.bincount(cols, minlength=n)
-    s_parts = _split_counts(sdeg, theta_s) if theta_s else np.ones(n, np.int64)
-    s_extra = np.maximum(s_parts - 1, 0)
+    (rows, cols, n, ddeg, d_parts, d_extra,
+     sdeg, s_parts, s_extra) = _splits(g, theta, theta_s)
 
     # real units only in the main rank space
     deg_u = (np.minimum(ddeg, theta)
              + (np.minimum(sdeg, theta_s) if theta_s else 0))
-    if order == "degree":
-        srt = np.argsort(-deg_u, kind="stable")
-        rank = np.empty(n, dtype=np.int64)
-        rank[srt] = np.arange(n)
-    else:
-        rank = np.arange(n, dtype=np.int64)
+    rank = _degree_rank(deg_u, order)
 
     # allocate aux regions linearly (region row space), sized first
     s_ids = np.nonzero(s_extra)[0]

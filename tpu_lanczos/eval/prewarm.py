@@ -15,21 +15,15 @@ import argparse
 import os
 import time
 
-import numpy as np
 
-from tpu_lanczos.eval.bench_suite import CONFIGS, build
-from tpu_lanczos.kernels.cpg import PACK_VERSION, pack_cpg, save_cpg
-
-
-def cache_path(cfg, cache_dir=".bench_cache"):
-    pack_kw = cfg.get("pack") or {}
-    tag = "".join(f"_{k}{v}" for k, v in sorted(pack_kw.items()))
-    return os.path.join(
-        cache_dir, f"suite_{cfg['name']}_cpg_v{PACK_VERSION}{tag}.npz")
+from tpu_lanczos.eval.bench_suite import (
+    CONFIGS, build, pack_cache_path, save_pack_cache,
+)
+from tpu_lanczos.kernels.cpg import pack_cpg
 
 
 def prewarm(cfg, cache_dir=".bench_cache"):
-    path = cache_path(cfg, cache_dir)
+    path = pack_cache_path(cfg, cache_dir)
     if os.path.exists(path):
         print(f"{cfg['name']}: cached ({path})", flush=True)
         return
@@ -40,10 +34,7 @@ def prewarm(cfg, cache_dir=".bench_cache"):
     dg = pack_cpg(g, **(cfg.get("pack") or {}))
     t_pack = time.time() - t0
     os.makedirs(cache_dir, exist_ok=True)
-    save_cpg(dg, path)
-    z = dict(np.load(path))
-    z["pack_s"] = t_pack
-    np.savez(path, **z)
+    save_pack_cache(dg, path, t_pack)
     print(f"{cfg['name']}: build {t_build:.1f}s pack {t_pack:.1f}s "
           f"tiles {dg.total_tiles} -> {path}", flush=True)
 

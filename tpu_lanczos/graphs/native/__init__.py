@@ -34,7 +34,7 @@ def _build() -> str | None:
         if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
             return None
         cmd = [
-            "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+            "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
             "-o", _SO + ".tmp", _SRC,
         ]
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)

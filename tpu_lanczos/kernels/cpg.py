@@ -258,11 +258,9 @@ def _alloc_aux(sizes: np.ndarray, base_row: int):
     if n_multi:
         folds.append((LANE, base_row, n_multi, n_multi))
         out_group_parts.append(np.repeat(np.nonzero(big)[0], nseg_big[big]))
-        rows_m = np.concatenate([
-            np.arange(seg_row0_big[g], seg_row0_big[g] + nseg_big[g])
-            for g in np.nonzero(big)[0]
-        ]) if n_multi else np.zeros(0, np.int64)
-        seg_pos_parts.append(rows_m * LANE)
+        # big groups get contiguous row blocks from base_row in group order
+        seg_pos_parts.append(
+            np.arange(base_row, base_row + n_multi) * LANE)
     row = base_row + n_multi
     for w in (128, 64, 32, 16, 8, 4, 2):
         sel = np.nonzero(W == w)[0]

@@ -197,3 +197,36 @@ def test_load_cpg_extends_short_ghost_tail(tmp_path):
         cg2, jnp.asarray(cg2.permute_in(xr, np.float64)), interpret=True)))
     want = g.to_scipy() @ xr
     np.testing.assert_allclose(y, want, rtol=1e-11, atol=1e-11)
+
+
+def test_checkpoint_rejects_different_start_vector(tmp_path):
+    """A snapshot written for start vector x1 must not be resumed for
+    x2: the fingerprint covers x (q0 and the whole basis depend on it)."""
+    from tpu_lanczos.core.checkpoint import run_fingerprint
+    from tpu_lanczos.core.pipeline import best_device_pack
+
+    g = generators.uniform_random(500, 2000, seed=3)
+    dg = best_device_pack(g)
+    x1 = np.ones(g.n)
+    x2 = np.ones(g.n)
+    x2[0] = 2.0
+    fp1 = run_fingerprint(dg, np.float64, 8, False, "auto", x=x1)
+    fp2 = run_fingerprint(dg, np.float64, 8, False, "auto", x=x2)
+    assert fp1 != fp2
+
+
+def test_checkpoint_corrupt_file_forces_fresh_run(tmp_path):
+    """A truncated/corrupt checkpoint file falls back to a fresh run
+    instead of aborting the decomposition."""
+    from tpu_lanczos.core.checkpoint import lanczos_checkpointed
+    from tpu_lanczos.core.pipeline import best_device_pack
+
+    g = generators.uniform_random(400, 1600, seed=4)
+    dg = best_device_pack(g)
+    import jax.numpy as jnp
+
+    p = tmp_path / "ck.npz"
+    p.write_bytes(b"not a checkpoint")
+    x = jnp.asarray(dg.permute_in(np.ones(g.n), np.float64))
+    st = lanczos_checkpointed(dg, x, 8, checkpoint_path=str(p), chunk=4)
+    assert np.all(np.isfinite(np.asarray(st.alpha)))

@@ -127,3 +127,20 @@ def test_reduce_level_exchange_is_compact():
     ans = sg.permute_out(np.asarray(expmv.multiply_out_host_eig(st)))
     ref = oracle.expm_action(g, np.ones(g.n), 15)
     assert oracle.rel_error(ans, ref) < 1e-10
+
+
+def test_sharded_pack_keeps_group_pad_tail():
+    """Every shard's tile arrays must keep >= GROUP_PAD ghost tiles past
+    its real ones: the kernel's batched group DMA clamps its window to
+    t_total - U, which silently misaligns whole groups if the tail is
+    shorter (the single-chip _finalize invariant)."""
+    from tpu_lanczos.kernels.cpg import GROUP_PAD
+
+    g = GRAPHS["barabasi"]()
+    for n_shards in (2, 5):
+        sg = pack_cpg_sharded(g, n_shards)
+        for lv, t_real in zip(sg.levels, sg.t_reals):
+            t_loc = int(np.asarray(lv["s_ids"]).shape[1])
+            counts = np.asarray(lv["counts"])
+            assert int(counts.sum(axis=1).max()) == t_real
+            assert t_loc - t_real >= GROUP_PAD

@@ -40,22 +40,28 @@ def _structure_probe(dg) -> int:
     return zlib.crc32(np.ascontiguousarray(y[:65536]).tobytes())
 
 
-def run_fingerprint(dg, dtype, k: int, reorthogonalize: bool, spmv_impl: str) -> str:
+def run_fingerprint(dg, dtype, k: int, reorthogonalize: bool,
+                    spmv_impl: str, x=None) -> str:
     """Identity of a decomposition run: the graph (n, nnz, pack permutation
-    hash, structural SpMV probe), the dtype, and every setting that changes
-    the recurrence.  A checkpoint written under a different fingerprint must
-    not be resumed — same-shaped snapshots of a different graph/dtype/flags
-    would silently produce a wrong decomposition."""
+    hash, structural SpMV probe), the dtype, the START VECTOR, and every
+    setting that changes the recurrence.  A checkpoint written under a
+    different fingerprint must not be resumed — same-shaped snapshots of a
+    different graph/dtype/x/flags would silently produce a wrong
+    decomposition."""
     import zlib
 
     noo = getattr(dg, "new_of_old", None)
     perm_crc = (
         zlib.crc32(np.ascontiguousarray(noo).tobytes()) if noo is not None else 0
     )
+    x_crc = (
+        zlib.crc32(np.ascontiguousarray(np.asarray(x)).tobytes())
+        if x is not None else 0
+    )
     return (
         f"{type(dg).__name__}:n={dg.n}:nnz={dg.nnz}:n_pad={dg.n_pad}:"
         f"perm={perm_crc:08x}:probe={_structure_probe(dg):08x}:"
-        f"dtype={np.dtype(dtype).name}:k={k}:"
+        f"dtype={np.dtype(dtype).name}:k={k}:x={x_crc:08x}:"
         f"reorth={bool(reorthogonalize)}:spmv={spmv_impl}"
     )
 
@@ -122,11 +128,17 @@ def lanczos_checkpointed(
     the result is bit-identical to an uninterrupted run because the carry
     captures the exact device state between chunks.
     """
-    fp = run_fingerprint(dg, x.dtype, k, reorthogonalize, spmv_impl)
+    fp = run_fingerprint(dg, x.dtype, k, reorthogonalize, spmv_impl, x=x)
     ckpt = None
     if os.path.exists(checkpoint_path):
-        cand = LanczosCheckpoint.load(checkpoint_path)
-        if cand.fingerprint == fp and cand.k == k and cand.q.shape[0] == dg.n_pad:
+        try:
+            cand = LanczosCheckpoint.load(checkpoint_path)
+        except Exception:
+            # a truncated/corrupt snapshot must force a fresh run, never
+            # abort the decomposition (module guarantee)
+            cand = None
+        if (cand is not None and cand.fingerprint == fp and cand.k == k
+                and cand.q.shape[0] == dg.n_pad):
             ckpt = cand
 
     if ckpt is None:

@@ -29,12 +29,12 @@ from tpu_lanczos.kernels.spmv_cpg import spmv_cpg_df
 
 
 def _body_core(cg, q, q_prev, beta_prev, interpret):
-    """Shared recurrence step: returns (alpha_j, beta_j, q_next, q)."""
+    """Shared recurrence step: returns (alpha_j, beta_j, q_next)."""
     v = spmv_cpg_df(cg, q[0], q[1], interpret=interpret)
     a = df.df_dot(v, q)
     v = df.df_sub(v, df.df_add(df.df_scale(a, q),
                                df.df_scale(beta_prev, q_prev)))
-    b = df.df_sqrt(df.df_dot(v, v))
+    b = df.df_norm(v)
     ok = b[0] > 0
     safe_b = (jnp.where(ok, b[0], 1.0), jnp.where(ok, b[1], 0.0))
     inv_b = df.df_div(df.df_from(jnp.float32(1.0)), safe_b)
@@ -95,8 +95,13 @@ def lanczos_recombine_df(cg: CPGGraph, x_hi, x_lo, coeff_hi, coeff_lo,
         bl = bl.at[j].set(b[1])
         return (q_next[0], q_next[1], qh, ql, ansh, ansl, bh, bl)
 
+    # run the recurrence only k-1 times: the final q_{k-1} needs no
+    # further SpMV/dots — accumulate its coefficient term directly
     init = (q0[0], q0[1], zv, zv, zv, zv, zk, zk)
-    _, _, _, _, ansh, ansl, _, _ = jax.lax.fori_loop(0, k, body, init)
+    carry = jax.lax.fori_loop(0, k - 1, body, init) if k > 1 else init
+    qh, ql, _, _, ansh, ansl, _, _ = carry
+    c = (coeff_hi[k - 1], coeff_lo[k - 1])
+    ansh, ansl = df.df_add((ansh, ansl), df.df_scale(c, (qh, ql)))
     return ansh, ansl
 
 
@@ -125,10 +130,15 @@ def expm_action_df(graph, x: np.ndarray | None = None, k: int = 50, *,
         dg = pack_cpg(graph)
     if interpret is None:
         interpret = jax.default_backend() in ("cpu", "gpu")
-    x_host = np.ones(graph.n, np.float64) if x is None \
-        else np.asarray(x, np.float64)
-    hi, lo = split_f64(dg.permute_in(x_host, np.float64))
-    x_hi, x_lo = jnp.asarray(hi), jnp.asarray(lo)
+    if x is None:
+        # default all-ones start vector: exactly the realmask, already on
+        # device — skips two n-sized H2D transfers through the tunnel
+        x_hi = dg.realmask.astype(jnp.float32)
+        x_lo = jnp.zeros_like(x_hi)
+    else:
+        hi, lo = split_f64(dg.permute_in(np.asarray(x, np.float64),
+                                         np.float64))
+        x_hi, x_lo = jnp.asarray(hi), jnp.asarray(lo)
 
     alpha, beta, x_norm = lanczos_alphabeta_df(dg, x_hi, x_lo, k,
                                                interpret=interpret)

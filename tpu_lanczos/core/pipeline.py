@@ -183,8 +183,15 @@ def run_config(cfg, graph: CSRGraph | None = None, x: np.ndarray | None = None):
         from tpu_lanczos.dist import make_mesh, expm_action_sharded
 
         fmt = "auto" if cfg.fmt == "cst" else cfg.fmt
+        pack_kw = None
+        if fmt in ("cpg", "best"):
+            # forward the tuned pack knobs (they were silently dropped
+            # on the sharded path before)
+            pack_kw = dict(theta=cfg.cpg_theta, sub=cfg.cpg_sub,
+                           order=cfg.cpg_order, layout=cfg.cpg_layout)
         return expm_action_sharded(
-            graph, x, mesh=make_mesh(cfg.shards), fmt=fmt, **common
+            graph, x, mesh=make_mesh(cfg.shards), fmt=fmt,
+            pack_kw=pack_kw, **common
         )
     dg = None
     if cfg.fmt == "cpg":

@@ -34,7 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_lanczos.graphs.csr import CSRGraph
-from tpu_lanczos.kernels.cpg import CPGGraph, pack_cpg, LANE, _round_up
+from tpu_lanczos.kernels.cpg import (CPGGraph, GROUP_PAD, LANE,
+                                     _round_up, pack_cpg)
 from tpu_lanczos.kernels import spmv_cpg as _k
 from tpu_lanczos.dist.mesh import ROWS
 from tpu_lanczos.utils import HostArray
@@ -58,20 +59,23 @@ class ShardedCPG:
     levels: tuple          # per-level dict of stacked jnp arrays
     realmask: jnp.ndarray  # (n_pad,)
     new_of_old: np.ndarray
+    # per-level max REAL tiles on any shard (static): the kernel's
+    # unroll heuristic must not see the 256-rounded padded count
+    t_reals: tuple = ()
 
     def tree_flatten(self):
         return (self.levels, self.realmask), (
             self.n, self.n_shards, self.n_chunks, self.nnz, self.theta,
-            self.sub, HostArray(self.new_of_old),
+            self.sub, HostArray(self.new_of_old), self.t_reals,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        n, n_shards, n_chunks, nnz, theta, sub, noo = aux
+        n, n_shards, n_chunks, nnz, theta, sub, noo, t_reals = aux
         levels, realmask = leaves
         return cls(n=n, n_shards=n_shards, n_chunks=n_chunks, nnz=nnz,
                    theta=theta, sub=sub, levels=levels, realmask=realmask,
-                   new_of_old=noo.a)
+                   new_of_old=noo.a, t_reals=t_reals)
 
     @property
     def n_pad(self) -> int:
@@ -101,11 +105,16 @@ def pack_cpg_sharded(
     kw.setdefault("theta_s", None)
     cg: CPGGraph = pack_cpg(graph, **kw)
     assert cg.n_bcast == 0
+    # the splitter slices l1 by sub rows/tile and treats s_ids as chunk
+    # ids — both wrong for the slab layout (LANE rows, slab ids)
+    assert cg.layout != "slab", "sharded CPG supports the classic layout"
+
     sub = cg.sub
     C = _round_up(cg.n_chunks, n_shards)
     c_loc = C // n_shards
 
     levels = []
+    t_reals = []
     for lv_i, lv in enumerate(cg.levels):
         d_ids = np.asarray(lv["d_ids"])
         s_ids = np.asarray(lv["s_ids"])
@@ -113,9 +122,10 @@ def pack_cpg_sharded(
         # compute the union of needed source chunks, each shard's owned
         # share (padded to a common m_pad), and the remap of s_ids into
         # the compact gathered buffer layout (concat of per-shard slabs)
+        t_real_lv = int(np.asarray(lv["counts"]).sum())
         sel = None
         if lv_i >= 1:
-            needed = np.unique(s_ids)
+            needed = np.unique(s_ids[:t_real_lv])
             owner = needed // c_loc
             per_owner = np.bincount(np.minimum(owner, n_shards - 1),
                                     minlength=n_shards)
@@ -144,8 +154,12 @@ def pack_cpg_sharded(
         # per-shard tile ranges over the d-major-sorted tile list
         sh_start = starts[::c_loc][:n_shards]
         sh_end = np.append(sh_start[1:], int(counts.sum()))
-        t_loc = int((sh_end - sh_start).max()) if n_shards else 1
-        t_loc = _round_up(max(t_loc, 1), 256)
+        t_loc_real = int((sh_end - sh_start).max()) if n_shards else 1
+        t_loc_real = max(t_loc_real, 1)
+        # the kernel's batched group DMA may start at the last real tile;
+        # keep >= GROUP_PAD ghost tiles past it on EVERY shard (the
+        # single-chip _finalize invariant, kernels/cpg.py)
+        t_loc = _round_up(t_loc_real + GROUP_PAD, 256)
 
         L1 = np.full((n_shards, t_loc * sub, LANE), LANE - 1, dtype=np.int8)
         L2 = np.zeros((n_shards, t_loc * LANE, sub), dtype=l2.dtype)
@@ -167,6 +181,7 @@ def pack_cpg_sharded(
             run_ids=jnp.asarray(R),
             starts=jnp.asarray(ST), counts=jnp.asarray(CT),
         )
+        t_reals.append(t_loc_real)
         if sel is not None:
             lvd["sel"] = jnp.asarray(sel)  # (n_shards, m_pad)
         if mesh is not None:
@@ -183,14 +198,23 @@ def pack_cpg_sharded(
         realmask = jnp.concatenate(
             [realmask, jnp.zeros(pad, realmask.dtype)]
         )
+    if mesh is not None:
+        # keep the mask sharded alongside the levels, or every jitted
+        # call reshards the (n_pad,) vector from device 0
+        realmask = jax.device_put(
+            realmask,
+            jax.sharding.NamedSharding(mesh,
+                                       jax.sharding.PartitionSpec(ROWS)),
+        )
     return ShardedCPG(
         n=cg.n, n_shards=n_shards, n_chunks=C, nnz=cg.nnz, theta=cg.theta,
         sub=sub, levels=tuple(levels), realmask=realmask,
-        new_of_old=cg.new_of_old,
+        new_of_old=cg.new_of_old, t_reals=tuple(t_reals),
     )
 
 
-def _local_spmv(levels_loc, realmask_loc, q_loc, sub, c_loc, interpret):
+def _local_spmv(levels_loc, realmask_loc, q_loc, sub, c_loc, interpret,
+                t_reals=()):
     """Per-shard SpMV (runs inside shard_map): all_gather the halo, run
     the unmodified CPG kernel over this shard's tiles."""
     n_sub_loc = c_loc * sub
@@ -200,25 +224,29 @@ def _local_spmv(levels_loc, realmask_loc, q_loc, sub, c_loc, interpret):
             n_sub_loc, LANE
         )
 
-    def run(level, src_full):
+    def run(level, src_full, t_real=None):
         lvl = {k: v[0] for k, v in level.items() if k != "sel"}
         x2d = src_full.reshape(-1, LANE)
         # vma marks the kernel output device-varying so the shard_map
         # varying-axes checker stays ON for the whole Lanczos body
         yt = _k._run_level(x2d, lvl, c_loc, sub, interpret,
-                           vma=frozenset({ROWS}))
+                           vma=frozenset({ROWS}), t_real=t_real)
         return untranspose(yt)
 
+    def t_real(i):
+        return t_reals[i] if t_reals else None
+
     q_full = jax.lax.all_gather(q_loc, ROWS, tiled=True)
-    y_loc = run(levels_loc[0], q_full).reshape(-1)
-    for level in levels_loc[1:]:
+    y_loc = run(levels_loc[0], q_full, t_real(0)).reshape(-1)
+    for lv_i, level in enumerate(levels_loc[1:]):
         # exchange only the chunks this level's tiles source (the
         # virtual-cell partials): each shard contributes its owned
         # needed chunks; s_ids were remapped into the compact layout
         sel = level["sel"][0]  # (m_pad,) local chunk ids
         contrib = y_loc.reshape(c_loc, sub * LANE)[sel].reshape(-1)
         compact_full = jax.lax.all_gather(contrib, ROWS, tiled=True)
-        y_loc = y_loc + run(level, compact_full).reshape(-1)
+        y_loc = y_loc + run(level, compact_full,
+                            t_real(lv_i + 1)).reshape(-1)
     return y_loc * realmask_loc.astype(y_loc.dtype)
 
 
@@ -234,9 +262,10 @@ def _pdot(a, b):
 
 
 @partial(jax.jit, static_argnames=(
-    "mesh", "k", "sub", "c_loc", "interpret", "reorthogonalize"))
+    "mesh", "k", "sub", "c_loc", "interpret", "reorthogonalize",
+    "t_reals"))
 def _lanczos_cpg_shmap(mesh, levels, realmask, x, k, sub, c_loc,
-                       interpret, reorthogonalize):
+                       interpret, reorthogonalize, t_reals=()):
     P = jax.sharding.PartitionSpec
 
     def shard_spec(v):
@@ -257,7 +286,8 @@ def _lanczos_cpg_shmap(mesh, levels, realmask, x, k, sub, c_loc,
         def body(j, carry):
             q, q_prev, q_basis, alpha, beta = carry
             q_basis = jax.lax.dynamic_update_slice(q_basis, q[None, :], (j, 0))
-            v = _local_spmv(levels_loc, realmask_loc, q, sub, c_loc, interpret)
+            v = _local_spmv(levels_loc, realmask_loc, q, sub, c_loc,
+                            interpret, t_reals)
             a = _pdot(v, q)
             alpha = alpha.at[j].set(a)
             b_prev = jnp.where(j > 0, beta[jnp.maximum(j - 1, 0)],
@@ -311,6 +341,7 @@ def lanczos_cpg_sharded(
         mesh, sg.levels, sg.realmask, x,
         k=k, sub=sg.sub, c_loc=sg.c_loc,
         interpret=interpret, reorthogonalize=reorthogonalize,
+        t_reals=sg.t_reals,
     )
     return LanczosState(
         alpha=alpha, beta=beta[: k - 1], q_basis=q_basis, x_norm=x_norm

@@ -143,12 +143,14 @@ def expm_action_sharded(
     reorthogonalize: bool = False,
     log_scale: bool = False,
     eig_impl: str = "host",
+    pack_kw: dict | None = None,
 ):
     """Multi-chip e^A.x. Accepts a host CSRGraph (packs it for the mesh)
     or a pre-packed ShardedGraph. ``fmt="cpg"`` (or "best" on TPU) uses
     the Pallas CPG kernel inside shard_map; XLA formats otherwise.
-    Returns (ans (n,) numpy in ORIGINAL vertex order, state,
-    sharded_graph)."""
+    ``pack_kw`` forwards pack parameters (theta, sub, order, ...) to
+    pack_cpg_sharded.  Returns (ans (n,) numpy in ORIGINAL vertex order,
+    state, sharded_graph)."""
     from tpu_lanczos.dist.partition import pack_sharded
     from tpu_lanczos.dist.cpg_sharded import (
         ShardedCPG, pack_cpg_sharded, lanczos_cpg_sharded,
@@ -162,7 +164,8 @@ def expm_action_sharded(
         n = sg.n
     elif fmt == "cpg":
         n = graph.n
-        sg = pack_cpg_sharded(graph, n_shards, mesh=mesh)
+        sg = pack_cpg_sharded(graph, n_shards, mesh=mesh,
+                              **(pack_kw or {}))
     else:
         n = graph.n
         sg = pack_sharded(graph, n_shards, fmt=fmt, mesh=mesh)

@@ -111,20 +111,26 @@ class CPGGraph:
     # mask-selected slab gathers (linear in sub), l2 stays uint8 at any
     # sub, and ghost cells carry an explicit bit instead of the mex fill.
     layout: str = "classic"
+    # real (un-padded) tile count per level, kept STATIC (pytree aux) so
+    # the kernel's unroll heuristic sees actual tiles-per-chunk, not the
+    # bucket-padded array length; () falls back to the padded shape
+    t_reals: tuple = ()
 
     def tree_flatten(self):
         return (self.levels, self.realmask), (
             self.n, self.n_chunks, self.nnz, self.theta, self.sub,
             HostArray(self.new_of_old), self.n_bcast, self.layout,
+            self.t_reals,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        n, n_chunks, nnz, theta, sub, new_of_old, n_bcast, layout = aux
+        (n, n_chunks, nnz, theta, sub, new_of_old, n_bcast, layout,
+         t_reals) = aux
         levels, realmask = leaves
         return cls(n=n, n_chunks=n_chunks, nnz=nnz, theta=theta, sub=sub,
                    levels=levels, realmask=realmask, new_of_old=new_of_old.a,
-                   n_bcast=n_bcast, layout=layout)
+                   n_bcast=n_bcast, layout=layout, t_reals=t_reals)
 
     @property
     def n_pad(self) -> int:
@@ -513,12 +519,16 @@ def load_cpg(path: str) -> CPGGraph:
         return {k: jnp.asarray(v) for k, v in lv.items()}
 
     levels = tuple(level(i) for i in range(int(z["n_levels"])))
+    t_reals = tuple(
+        int(np.asarray(z[f"lv{i}_counts"]).sum())
+        for i in range(int(z["n_levels"]))
+    )
     return CPGGraph(
         n=int(z["n"]), n_chunks=int(z["n_chunks"]), nnz=int(z["nnz"]),
         theta=int(z["theta"]), sub=sub, levels=levels,
         realmask=jnp.asarray(z["realmask"]), new_of_old=z["new_of_old"],
         n_bcast=int(z["n_bcast"]) if "n_bcast" in z else 0,
-        layout=layout,
+        layout=layout, t_reals=t_reals,
     )
 
 
@@ -888,4 +898,5 @@ def _finalize(graph, n, n_units, theta, sub, pos_of, levels,
         n=n, n_chunks=n_chunks, nnz=graph.nnz, theta=theta, sub=sub,
         levels=dev_levels, realmask=jnp.asarray(realmask),
         new_of_old=new_of_old, n_bcast=n_bcast, layout=layout,
+        t_reals=tuple(lv.s_ids.shape[0] for lv in levels),
     )

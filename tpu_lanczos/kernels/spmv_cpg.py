@@ -46,7 +46,7 @@ def _pick_unroll(avg_tiles_per_chunk: float, idx_bytes: int,
     (mesh graphs).  Capped so the two U-tile group buffers plus the xs
     run slots stay inside ~16MB VMEM."""
     if avg_tiles_per_chunk >= 96:
-        u = 16
+        u = _U_MAX
     elif avg_tiles_per_chunk >= 24:
         u = 8
     elif avg_tiles_per_chunk >= 6:
@@ -245,14 +245,18 @@ _RESIDENT_X_LIMIT = 8 * 1024 * 1024
 
 
 def _run_level(x2d, level, n_chunks, sub, interpret, compensated=False,
-               vma=None, slab=False):
+               vma=None, slab=False, t_real=None):
     resident_x = x2d.size * x2d.dtype.itemsize <= _RESIDENT_X_LIMIT
     l2_dtype = level["l2"].dtype
     rows = LANE if slab else sub
     idx_bytes = rows * LANE + LANE * sub * l2_dtype.itemsize
     xs_bytes = 0 if resident_x else rows * LANE * x2d.dtype.itemsize
+    # the tile arrays are bucket-padded for compile caching; the unroll
+    # choice must see the REAL tiles-per-chunk or sparse levels (meshes,
+    # reduce levels) get clamped-duplicate-dominated groups
+    t_for_u = t_real if t_real is not None else level["s_ids"].shape[0]
     U = _pick_unroll(
-        level["s_ids"].shape[0] / max(n_chunks, 1), idx_bytes, xs_bytes,
+        t_for_u / max(n_chunks, 1), idx_bytes, xs_bytes,
         resident_x,
     )
     out_block = pl.BlockSpec(
@@ -280,7 +284,11 @@ def _run_level(x2d, level, n_chunks, sub, interpret, compensated=False,
             scratch_shapes=[
                 pltpu.VMEM((_N_PIPE, U * rows, LANE), jnp.int8),
                 pltpu.VMEM((_N_PIPE, U * LANE, sub), l2_dtype),
-                pltpu.VMEM((2 * U, rows, LANE), x2d.dtype),
+                # dead when x is resident: keep a dummy so VMEM budget
+                # is spent on the index pipeline instead
+                pltpu.VMEM(
+                    (2 * U, rows, LANE) if not resident_x else (1, 1, 1),
+                    x2d.dtype),
                 pltpu.SemaphoreType.DMA((_N_PIPE, 2)),
                 pltpu.SemaphoreType.DMA((2 * U,)),
             ],
@@ -307,16 +315,23 @@ def spmv_cpg(cg: CPGGraph, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarr
         return yt.reshape(C, LANE, sub).transpose(0, 2, 1).reshape(n_sub, LANE)
 
     nb = cg.n_bcast
-    for level in cg.levels[:nb]:
+
+    def t_real(i):
+        return cg.t_reals[i] if cg.t_reals else None
+
+    for i, level in enumerate(cg.levels[:nb]):
         # broadcast pass: copy split-source parents' x values into their
         # copy slots (exact: copy slots are zero in x, one entry per cell)
         x2d = x2d + untranspose(
-            _run_level(x2d, level, C, sub, interpret, slab=slab)
+            _run_level(x2d, level, C, sub, interpret, slab=slab,
+                       t_real=t_real(i))
         )
-    yt = _run_level(x2d, cg.levels[nb], C, sub, interpret, slab=slab)
+    yt = _run_level(x2d, cg.levels[nb], C, sub, interpret, slab=slab,
+                    t_real=t_real(nb))
     y2d = untranspose(yt)
-    for level in cg.levels[nb + 1:]:
-        yt = _run_level(y2d, level, C, sub, interpret, slab=slab)
+    for i, level in enumerate(cg.levels[nb + 1:]):
+        yt = _run_level(y2d, level, C, sub, interpret, slab=slab,
+                        t_real=t_real(nb + 1 + i))
         y2d = y2d + untranspose(yt)
     y = y2d.reshape(-1) * cg.realmask.astype(x.dtype)
     return y
@@ -333,7 +348,7 @@ def spmv_cpg_df(cg: CPGGraph, x_hi: jnp.ndarray, x_lo: jnp.ndarray,
     The lo input rides the plain kernel (its own rounding is ~2^-48
     relative to y).  Reduce levels fold partial (hi, err) pairs with an
     elementwise two-sum outside the kernel.  See core/df64.py."""
-    from tpu_lanczos.core.df64 import fast_two_sum, two_sum
+    from tpu_lanczos.core.df64 import two_sum
 
     C = cg.n_chunks
     sub = cg.sub
@@ -346,28 +361,39 @@ def spmv_cpg_df(cg: CPGGraph, x_hi: jnp.ndarray, x_lo: jnp.ndarray,
         return yt.reshape(C, LANE, sub).transpose(0, 2, 1).reshape(n_sub, LANE)
 
     nb = cg.n_bcast
-    for level in cg.levels[:nb]:
+
+    def t_real(i):
+        return cg.t_reals[i] if cg.t_reals else None
+
+    for i, level in enumerate(cg.levels[:nb]):
         # broadcast pass moves values exactly (one entry per dest cell,
         # all other contributions are structural zeros) -> plain kernel
         # on hi and lo separately introduces no rounding
         hi2d = hi2d + untranspose(
-            _run_level(hi2d, level, C, sub, interpret, slab=slab)
+            _run_level(hi2d, level, C, sub, interpret, slab=slab,
+                       t_real=t_real(i))
         )
         lo2d = lo2d + untranspose(
-            _run_level(lo2d, level, C, sub, interpret, slab=slab)
+            _run_level(lo2d, level, C, sub, interpret, slab=slab,
+                       t_real=t_real(i))
         )
     yt, et = _run_level(hi2d, cg.levels[nb], C, sub, interpret,
-                        compensated=True, slab=slab)
-    lt = _run_level(lo2d, cg.levels[nb], C, sub, interpret, slab=slab)
+                        compensated=True, slab=slab, t_real=t_real(nb))
+    lt = _run_level(lo2d, cg.levels[nb], C, sub, interpret, slab=slab,
+                    t_real=t_real(nb))
     y2d = untranspose(yt)
     e2d = untranspose(et) + untranspose(lt)
-    for level in cg.levels[nb + 1:]:
+    for i, level in enumerate(cg.levels[nb + 1:]):
         yt, et = _run_level(y2d, level, C, sub, interpret,
-                            compensated=True, slab=slab)
-        lt = _run_level(e2d, level, C, sub, interpret, slab=slab)
+                            compensated=True, slab=slab,
+                            t_real=t_real(nb + 1 + i))
+        lt = _run_level(e2d, level, C, sub, interpret, slab=slab,
+                        t_real=t_real(nb + 1 + i))
         y2d, t = two_sum(y2d, untranspose(yt))
         e2d = e2d + t + untranspose(et) + untranspose(lt)
-    hi, lo = fast_two_sum(y2d.reshape(-1), e2d.reshape(-1))
+    # two_sum (not fast_two_sum): after cancellation in the hi stream a
+    # row's |e2d| can exceed |y2d|, where the fast variant is inexact
+    hi, lo = two_sum(y2d.reshape(-1), e2d.reshape(-1))
     mask = cg.realmask.astype(x_hi.dtype)  # exact 0/1 multiply
     return hi * mask, lo * mask
 

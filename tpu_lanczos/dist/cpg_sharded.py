@@ -253,12 +253,7 @@ def _local_spmv(levels_loc, realmask_loc, q_loc, sub, c_loc, interpret,
 from functools import partial
 
 from tpu_lanczos.core.lanczos import LanczosState
-
-
-def _pdot(a, b):
-    return jax.lax.psum(
-        jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST), ROWS
-    )
+from tpu_lanczos.dist.mesh import sharded_lanczos_body
 
 
 @partial(jax.jit, static_argnames=(
@@ -274,43 +269,11 @@ def _lanczos_cpg_shmap(mesh, levels, realmask, x, k, sub, c_loc,
     level_specs = jax.tree.map(shard_spec, levels)
 
     def f(levels_loc, realmask_loc, x_loc):
-        dtype = x_loc.dtype
-        x_norm = jnp.sqrt(_pdot(x_loc, x_loc))
-        q = x_loc / x_norm
-        q_basis = jax.lax.pcast(
-            jnp.zeros((k, x_loc.shape[0]), dtype=dtype), (ROWS,), to="varying"
-        )
-        alpha = jnp.zeros((k,), dtype=dtype)
-        beta = jnp.zeros((k,), dtype=dtype)
+        def local(q):
+            return _local_spmv(levels_loc, realmask_loc, q, sub, c_loc,
+                               interpret, t_reals)
 
-        def body(j, carry):
-            q, q_prev, q_basis, alpha, beta = carry
-            q_basis = jax.lax.dynamic_update_slice(q_basis, q[None, :], (j, 0))
-            v = _local_spmv(levels_loc, realmask_loc, q, sub, c_loc,
-                            interpret, t_reals)
-            a = _pdot(v, q)
-            alpha = alpha.at[j].set(a)
-            b_prev = jnp.where(j > 0, beta[jnp.maximum(j - 1, 0)],
-                               jnp.zeros((), dtype))
-            v = v - a * q - b_prev * q_prev
-            if reorthogonalize:
-                proj = jax.lax.psum(
-                    jnp.dot(q_basis, v, precision=jax.lax.Precision.HIGHEST),
-                    ROWS,
-                )
-                row_ids = jax.lax.broadcasted_iota(jnp.int32, (k,), 0)
-                proj = jnp.where(row_ids <= j, proj, jnp.zeros((), dtype))
-                v = v - jnp.dot(proj, q_basis,
-                                precision=jax.lax.Precision.HIGHEST)
-            b = jnp.sqrt(_pdot(v, v))
-            beta = beta.at[j].set(b)
-            q_next = jnp.where(b > 0, v / jnp.where(b > 0, b, 1),
-                               jnp.zeros_like(v))
-            return (q_next, q, q_basis, alpha, beta)
-
-        init = (q, jnp.zeros_like(q), q_basis, alpha, beta)
-        _, _, q_basis, alpha, beta = jax.lax.fori_loop(0, k, body, init)
-        return alpha, beta, q_basis, x_norm
+        return sharded_lanczos_body(local, x_loc, k, reorthogonalize)
 
     return jax.shard_map(
         f,

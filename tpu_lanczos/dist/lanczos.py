@@ -27,7 +27,7 @@ import numpy as np
 
 from tpu_lanczos.core.lanczos import LanczosState
 from tpu_lanczos.core import expmv
-from tpu_lanczos.dist.mesh import ROWS
+from tpu_lanczos.dist.mesh import ROWS, sharded_lanczos_body
 from tpu_lanczos.dist.partition import ShardedGraph
 from tpu_lanczos.graphs.csr import CSRGraph
 
@@ -50,12 +50,6 @@ def _local_spmv(ell_idx, ell_deg, coo_rows, coo_cols, x_full, n_loc):
     return y + y_spill[:n_loc]
 
 
-def _pdot(a, b):
-    return jax.lax.psum(
-        jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST), ROWS
-    )
-
-
 @partial(
     jax.jit, static_argnames=("mesh", "k", "n_loc", "reorthogonalize")
 )
@@ -68,41 +62,13 @@ def _lanczos_shmap(mesh, ell_indices, ell_degrees, coo_rows, coo_cols, x,
         # per-shard shapes: ell (w, n_loc), deg (n_loc,), coo (1, S), x (n_loc,)
         coo_rows_l = coo_rows[0]
         coo_cols_l = coo_cols[0]
-        dtype = x_loc.dtype
 
-        x_norm = jnp.sqrt(_pdot(x_loc, x_loc))
-        q = x_loc / x_norm
-        # mark the basis store as device-varying so the fori_loop carry type
-        # is consistent (shard_map vma checking)
-        q_basis = jax.lax.pcast(
-            jnp.zeros((k, n_loc), dtype=dtype), (ROWS,), to="varying"
-        )
-        alpha = jnp.zeros((k,), dtype=dtype)
-        beta = jnp.zeros((k,), dtype=dtype)
+        def local(q):
+            q_full = jax.lax.all_gather(q, ROWS, tiled=True)  # halo
+            return _local_spmv(ell_idx, ell_deg, coo_rows_l, coo_cols_l,
+                               q_full, n_loc)
 
-        def body(j, carry):
-            q, q_prev, q_basis, alpha, beta = carry
-            q_basis = jax.lax.dynamic_update_slice(q_basis, q[None, :], (j, 0))
-            q_full = jax.lax.all_gather(q, ROWS, tiled=True)  # (n_pad,) halo
-            v = _local_spmv(ell_idx, ell_deg, coo_rows_l, coo_cols_l, q_full, n_loc)
-            a = _pdot(v, q)
-            alpha = alpha.at[j].set(a)
-            b_prev = jnp.where(j > 0, beta[jnp.maximum(j - 1, 0)], jnp.zeros((), dtype))
-            v = v - a * q - b_prev * q_prev
-            if reorthogonalize:
-                proj = jnp.dot(q_basis, v, precision=jax.lax.Precision.HIGHEST)
-                proj = jax.lax.psum(proj, ROWS)  # (k,)
-                row_ids = jax.lax.broadcasted_iota(jnp.int32, (k,), 0)
-                proj = jnp.where(row_ids <= j, proj, jnp.zeros((), dtype))
-                v = v - jnp.dot(proj, q_basis, precision=jax.lax.Precision.HIGHEST)
-            b = jnp.sqrt(_pdot(v, v))
-            beta = beta.at[j].set(b)
-            q_next = jnp.where(b > 0, v / jnp.where(b > 0, b, 1), jnp.zeros_like(v))
-            return (q_next, q, q_basis, alpha, beta)
-
-        init = (q, jnp.zeros_like(q), q_basis, alpha, beta)
-        _, _, q_basis, alpha, beta = jax.lax.fori_loop(0, k, body, init)
-        return alpha, beta, q_basis, x_norm
+        return sharded_lanczos_body(local, x_loc, k, reorthogonalize)
 
     return jax.shard_map(
         f,

@@ -40,3 +40,69 @@ def make_mesh(n_devices: int | None = None, devices=None) -> jax.sharding.Mesh:
             )
         devices = devices[:n_devices]
     return jax.sharding.Mesh(np.asarray(devices), (ROWS,))
+
+
+def pdot(a, b):
+    """Mesh-wide dot: local HIGHEST-precision dot + psum over ROWS (no
+    central-device reduce — contrast the reference's gather-to-GPU0,
+    parallel-two-cards/lib/cu_lanczos.cu:128-155)."""
+    import jax.numpy as jnp
+
+    return jax.lax.psum(
+        jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST), ROWS
+    )
+
+
+def sharded_lanczos_body(local_spmv, x_loc, k: int,
+                         reorthogonalize: bool = False):
+    """The per-shard Lanczos recurrence shared by every sharded backend
+    (XLA formats in dist/lanczos.py, the CPG kernel in
+    dist/cpg_sharded.py).  ``local_spmv(q_loc) -> v_loc`` performs the
+    backend's halo exchange + local SpMV; everything else — the
+    three-term recurrence, psum'd dots/norms, masked reorthogonalization,
+    breakdown guard — lives here exactly once.
+
+    Runs INSIDE shard_map.  Returns (alpha, beta, q_basis, x_norm) with
+    alpha/beta/x_norm replicated and q_basis (k, n_loc) device-varying.
+    """
+    import jax.numpy as jnp
+
+    dtype = x_loc.dtype
+    n_loc = x_loc.shape[0]
+    x_norm = jnp.sqrt(pdot(x_loc, x_loc))
+    q = x_loc / x_norm
+    # mark the basis store as device-varying so the fori_loop carry type
+    # is consistent (shard_map vma checking)
+    q_basis = jax.lax.pcast(
+        jnp.zeros((k, n_loc), dtype=dtype), (ROWS,), to="varying"
+    )
+    alpha = jnp.zeros((k,), dtype=dtype)
+    beta = jnp.zeros((k,), dtype=dtype)
+
+    def body(j, carry):
+        q, q_prev, q_basis, alpha, beta = carry
+        q_basis = jax.lax.dynamic_update_slice(q_basis, q[None, :], (j, 0))
+        v = local_spmv(q)
+        a = pdot(v, q)
+        alpha = alpha.at[j].set(a)
+        b_prev = jnp.where(j > 0, beta[jnp.maximum(j - 1, 0)],
+                           jnp.zeros((), dtype))
+        v = v - a * q - b_prev * q_prev
+        if reorthogonalize:
+            proj = jax.lax.psum(
+                jnp.dot(q_basis, v, precision=jax.lax.Precision.HIGHEST),
+                ROWS,
+            )
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (k,), 0)
+            proj = jnp.where(row_ids <= j, proj, jnp.zeros((), dtype))
+            v = v - jnp.dot(proj, q_basis,
+                            precision=jax.lax.Precision.HIGHEST)
+        b = jnp.sqrt(pdot(v, v))
+        beta = beta.at[j].set(b)
+        q_next = jnp.where(b > 0, v / jnp.where(b > 0, b, 1),
+                           jnp.zeros_like(v))
+        return (q_next, q, q_basis, alpha, beta)
+
+    init = (q, jnp.zeros_like(q), q_basis, alpha, beta)
+    _, _, q_basis, alpha, beta = jax.lax.fori_loop(0, k, body, init)
+    return alpha, beta, q_basis, x_norm

@@ -34,7 +34,13 @@ def coefficients(evals, evecs, x_norm, xp=jnp):
 
 def multiply_out(state: LanczosState, log_scale: bool = False):
     """Fully-on-device multiply-out (jittable; uses the device eigh).
-    Returns ``ans`` (n_pad,) or ``(ans_scaled, log_scale_scalar)``."""
+    Returns ``ans`` (n_pad,) or ``(ans_scaled, log_scale_scalar)``.
+
+    NOTE: with ``log_scale=False`` the final ``* exp(shift)`` runs in
+    the working dtype and overflows to inf for lambda_max beyond ~88
+    (f32) / ~709 (f64) — the reference's documented hazard
+    (single_double.txt:27-31).  Callers on dense graphs must request
+    ``log_scale=True`` and keep the shifted pair (the CLI does)."""
     evals, evecs = tridiag.eigh_device(state.alpha, state.beta)
     tmp, shift = coefficients(evals, evecs, state.x_norm)
     ans_scaled = tmp @ state.q_basis  # (n_pad,) — Q stored (k, n_pad)

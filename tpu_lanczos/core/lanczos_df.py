@@ -125,7 +125,7 @@ def expm_action_df(graph, x: np.ndarray | None = None, k: int = 50, *,
     from tpu_lanczos.core.pipeline import LanczosResult
     from tpu_lanczos.kernels.cpg import pack_cpg
 
-    k = int(min(k, graph.n - 1))
+    k = int(max(min(k, graph.n - 1), 1))
     if dg is None:
         dg = pack_cpg(graph)
     if interpret is None:

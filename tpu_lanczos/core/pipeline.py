@@ -88,7 +88,7 @@ def expm_action_summary(
     O(n).  Serving-style output: the highest-centrality vertices under
     the e^A.1 exponential-centrality measure (the quantity the
     reference's check_ans reports, check_ans.cu max/idx metrics)."""
-    k = int(min(k, graph.n - 1))
+    k = int(max(min(k, graph.n - 1), 1))
     if dg is None:
         if fmt == "best":
             dg = best_device_pack(graph)
@@ -250,7 +250,7 @@ def expm_action(
     the multiply-out — so peak device memory is O(n) instead of O(k·n).
     Incompatible with ``reorthogonalize`` (which needs the stored basis).
     """
-    k = int(min(k, graph.n - 1))
+    k = int(max(min(k, graph.n - 1), 1))
     if low_mem and reorthogonalize:
         raise ValueError("low_mem is incompatible with reorthogonalize")
     if dg is None:

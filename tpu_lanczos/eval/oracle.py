@@ -90,7 +90,7 @@ def expm_action(
     graph: CSRGraph, x: np.ndarray, k: int, reorthogonalize: bool = False
 ) -> np.ndarray:
     """Full oracle pipeline: f(A)x = e^A.x via k-step Lanczos."""
-    k = min(k, graph.n - 1)  # reference clamps k (serial/main.cc:64)
+    k = max(min(k, graph.n - 1), 1)  # reference clamps k (serial/main.cc:64)
     dec = lanczos(graph, x, k, reorthogonalize=reorthogonalize)
     return multiply_out(dec)
 

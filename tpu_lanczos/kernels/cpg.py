@@ -149,7 +149,10 @@ class CPGGraph:
 
     @property
     def fill(self) -> float:
-        return self.nnz / float(max(self.total_tiles, 1) * self.sub * LANE)
+        # per-tile entry capacity: a full (sub,128) staging block for the
+        # classic layout, one (128,128) source slab for the slab layout
+        cap = (LANE if self.layout == "slab" else self.sub) * LANE
+        return self.nnz / float(max(self.total_tiles, 1) * cap)
 
     # ------------------------------------------------------------ vectors
 
@@ -162,16 +165,41 @@ class CPGGraph:
         return np.asarray(y).reshape(-1)[self.new_of_old]
 
 
-def _compact(keys: np.ndarray, return_unique: bool = False):
-    """Sorted-rank compaction (np.unique inverse semantics); native sort
-    when available (~6x faster than np.unique at 20M keys)."""
+_NATIVE_WARNED: set = set()
+
+
+def _native(fn_name: str, *args, **kw):
+    """Dispatch one call to the native core (graphcore.cc).  Returns
+    None when the toolchain/library is unavailable so callers fall back
+    to their numpy oracle; a native-side ERROR is warned once per
+    function instead of silently degrading to the ~6x-slower path."""
     try:
         from tpu_lanczos.graphs import native
 
-        if native.available():
-            return native.compact(keys, return_unique=return_unique)
+        if not native.available():
+            return None
+        fn = getattr(native, fn_name)
     except Exception:
-        pass
+        return None
+    try:
+        return fn(*args, **kw)
+    except Exception as exc:
+        if fn_name not in _NATIVE_WARNED:
+            _NATIVE_WARNED.add(fn_name)
+            import warnings
+
+            warnings.warn(
+                f"native {fn_name} failed ({exc!r}); using numpy fallback"
+            )
+        return None
+
+
+def _compact(keys: np.ndarray, return_unique: bool = False):
+    """Sorted-rank compaction (np.unique inverse semantics); native sort
+    when available (~6x faster than np.unique at 20M keys)."""
+    out = _native("compact", keys, return_unique=return_unique)
+    if out is not None:
+        return out
     uniq, inv = np.unique(keys, return_inverse=True)
     if return_unique:
         return inv, uniq
@@ -182,14 +210,8 @@ def _assign_tiers(a_c: np.ndarray, b_c: np.ndarray) -> np.ndarray:
     """Slot/tier assignment: Delta-optimal Konig edge coloring via the
     native core when available (tile count == max endpoint load), else
     the round-based python greedy (~1.5-2x Delta)."""
-    try:
-        from tpu_lanczos.graphs import native
-
-        if native.available():
-            return native.edge_color(a_c, b_c)
-    except Exception:
-        pass
-    return _greedy_slots(a_c, b_c)
+    out = _native("edge_color", a_c, b_c)
+    return out if out is not None else _greedy_slots(a_c, b_c)
 
 
 def _pos_of_unit(rank: np.ndarray, sub: int) -> np.ndarray:
@@ -317,16 +339,10 @@ def _build_cpg_level(src_pos: np.ndarray, dst_pos: np.ndarray, sub: int):
     and l1/l2 ghost-mex semantics) when available — the numpy path below
     is the portable fallback and its correctness oracle
     (tests/test_cpg.py cross-checks the two)."""
-    try:
-        from tpu_lanczos.graphs import native
-
-        if native.available():
-            l1, l2, s_ids, d_ids = native.cpg_build_level(
-                src_pos, dst_pos, sub
-            )
-            return _CPGLevel(l1=l1, l2=l2, s_ids=s_ids, d_ids=d_ids)
-    except Exception:
-        pass
+    out = _native("cpg_build_level", src_pos, dst_pos, sub)
+    if out is not None:
+        l1, l2, s_ids, d_ids = out
+        return _CPGLevel(l1=l1, l2=l2, s_ids=s_ids, d_ids=d_ids)
     return _build_cpg_level_np(src_pos, dst_pos, sub)
 
 
@@ -404,16 +420,10 @@ def _build_cpg_level_slab(src_pos: np.ndarray, dst_pos: np.ndarray,
     source sublane within the slab), l2 is (T*128, sub) uint8 whose high
     bit flags ghost dest cells (the kernel masks them to zero — no mex
     fill needed, and l2 stays uint8 at any ``sub``)."""
-    try:
-        from tpu_lanczos.graphs import native
-
-        if native.available():
-            l1, l2, s_ids, d_ids = native.cpg_build_level(
-                src_pos, dst_pos, sub, slab=True
-            )
-            return _CPGLevel(l1=l1, l2=l2, s_ids=s_ids, d_ids=d_ids)
-    except Exception:
-        pass
+    out = _native("cpg_build_level", src_pos, dst_pos, sub, slab=True)
+    if out is not None:
+        l1, l2, s_ids, d_ids = out
+        return _CPGLevel(l1=l1, l2=l2, s_ids=s_ids, d_ids=d_ids)
     return _build_cpg_level_slab_np(src_pos, dst_pos, sub)
 
 
@@ -550,14 +560,9 @@ def _group_deal(parent: np.ndarray, opp_chunk: np.ndarray,
     gc_group_deal) when available — the dominant pack-time cost is this
     function's key sort; the numpy path below is the portable fallback
     and its correctness oracle (tests/test_cpg.py cross-checks)."""
-    try:
-        from tpu_lanczos.graphs import native
-
-        if native.available():
-            return native.group_deal(parent, opp_chunk, n_parts_of)
-    except Exception:
-        pass
-    return _group_deal_np(parent, opp_chunk, n_parts_of)
+    out = _native("group_deal", parent, opp_chunk, n_parts_of)
+    return out if out is not None else _group_deal_np(
+        parent, opp_chunk, n_parts_of)
 
 
 def _group_deal_np(parent: np.ndarray, opp_chunk: np.ndarray,
@@ -580,7 +585,9 @@ def _group_deal_np(parent: np.ndarray, opp_chunk: np.ndarray,
 
 
 def _split_counts(deg: np.ndarray, cap: int) -> np.ndarray:
-    return np.maximum(deg + cap - 1, 1) // cap
+    # every unit has >= 1 part (a degree-0 unit previously got 0, which
+    # any parts-consumer dividing/modding would trip over)
+    return np.maximum((deg + cap - 1) // cap, 1)
 
 
 def pack_cpg(
@@ -773,62 +780,58 @@ def _pack_split(graph, rows, cols, n, theta, theta_s, sub, order,
         deg_u[n_units_d:n_units_d + n_copies] = theta_s
     if order == "locality":
         rank = np.arange(n_units, dtype=np.int64)
-    else:  # "degree" and the provisional layout for "balance"
+    else:  # "degree"
         srt = np.argsort(-deg_u, kind="stable")
         rank = np.empty(n_units, dtype=np.int64)
         rank[srt] = np.arange(n_units)
     pos_of = _pos_of_unit(rank, sub)
 
-    def deal(pos_of):
-        # ---- dest dealing (which part of its split row an entry rides)
+    # ---- dest dealing (which part of its split row an entry rides)
+    if redeal:
+        s_chunk_of_entry = pos_of[cols] // (sub * LANE)
+        dpart = _group_deal(rows, s_chunk_of_entry, d_parts)
+    else:
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(ddeg, out=starts[1:])
+        dpart = (np.arange(rows.size) - starts[rows]) // theta
+    dunit = np.where(dpart == 0, rows, d_base[rows] + dpart - 1)
+
+    # ---- source dealing (which copy an entry reads)
+    if theta_s:
+        d_chunk_of_entry = pos_of[dunit] // (sub * LANE)
         if redeal:
-            s_chunk_of_entry = pos_of[cols] // (sub * LANE)
-            dpart = _group_deal(rows, s_chunk_of_entry, d_parts)
+            spart = _group_deal(cols, d_chunk_of_entry, s_parts)
         else:
-            starts = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(ddeg, out=starts[1:])
-            dpart = (np.arange(rows.size) - starts[rows]) // theta
-        dunit = np.where(dpart == 0, rows, d_base[rows] + dpart - 1)
+            csort = np.argsort(cols, kind="stable")
+            sstarts = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(sdeg, out=sstarts[1:])
+            within = np.empty(cols.size, dtype=np.int64)
+            within[csort] = np.arange(cols.size) - sstarts[cols[csort]]
+            spart = within % np.maximum(s_parts[cols], 1)
+        sunit = np.where(spart == 0, cols, s_base[cols] + spart - 1)
+    else:
+        sunit = cols
 
-        # ---- source dealing (which copy an entry reads)
-        if theta_s:
-            d_chunk_of_entry = pos_of[dunit] // (sub * LANE)
-            if redeal:
-                spart = _group_deal(cols, d_chunk_of_entry, s_parts)
-            else:
-                csort = np.argsort(cols, kind="stable")
-                sstarts = np.zeros(n + 1, dtype=np.int64)
-                np.cumsum(sdeg, out=sstarts[1:])
-                within = np.empty(cols.size, dtype=np.int64)
-                within[csort] = np.arange(cols.size) - sstarts[cols[csort]]
-                spart = within % np.maximum(s_parts[cols], 1)
-            sunit = np.where(spart == 0, cols, s_base[cols] + spart - 1)
+    # ---- reduce-tree dealing (which part a child folds into)
+    reduce_edges = []
+    for ch, pa, uniq, parts, base in reduce_rounds:
+        parts_of = np.zeros(n_units, dtype=np.int64)
+        parts_of[uniq] = parts
+        base_of = np.zeros(n_units, dtype=np.int64)
+        base_of[uniq] = base
+        if redeal:
+            ch_chunk = pos_of[ch] // (sub * LANE)
+            rpart = _group_deal(pa, ch_chunk, parts_of)
         else:
-            sunit = cols
-
-        # ---- reduce-tree dealing (which part a child folds into)
-        reduce_edges = []
-        for ch, pa, uniq, parts, base in reduce_rounds:
-            parts_of = np.zeros(n_units, dtype=np.int64)
-            parts_of[uniq] = parts
-            base_of = np.zeros(n_units, dtype=np.int64)
-            base_of[uniq] = base
-            if redeal:
-                ch_chunk = pos_of[ch] // (sub * LANE)
-                rpart = _group_deal(pa, ch_chunk, parts_of)
-            else:
-                # consecutive within each parent's (sorted) child run
-                newp = np.ones(pa.size, dtype=bool)
-                newp[1:] = pa[1:] != pa[:-1]
-                gstart = np.zeros(pa.size, dtype=np.int64)
-                gstart[newp] = np.nonzero(newp)[0]
-                gstart = np.maximum.accumulate(gstart)
-                rpart = (np.arange(pa.size) - gstart) // theta
-            rdst = np.where(rpart == 0, pa, base_of[pa] + rpart - 1)
-            reduce_edges.append((ch, rdst))
-        return dunit, sunit, reduce_edges
-
-    dunit, sunit, reduce_edges = deal(pos_of)
+            # consecutive within each parent's (sorted) child run
+            newp = np.ones(pa.size, dtype=bool)
+            newp[1:] = pa[1:] != pa[:-1]
+            gstart = np.zeros(pa.size, dtype=np.int64)
+            gstart[newp] = np.nonzero(newp)[0]
+            gstart = np.maximum.accumulate(gstart)
+            rpart = (np.arange(pa.size) - gstart) // theta
+        rdst = np.where(rpart == 0, pa, base_of[pa] + rpart - 1)
+        reduce_edges.append((ch, rdst))
 
     build = _build_cpg_level_slab if layout == "slab" else _build_cpg_level
     levels = []

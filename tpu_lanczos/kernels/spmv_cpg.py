@@ -62,8 +62,14 @@ def _pick_unroll(avg_tiles_per_chunk: float, idx_bytes: int,
 
 # _finalize pads every level's tile arrays by at least this many ghost
 # tiles so a group DMA starting at the last real tile never reads past
-# the arrays (kernels/cpg.py GROUP_PAD must match)
+# the arrays; enforced against kernels/cpg.py GROUP_PAD below
 _U_MAX = 16
+
+from tpu_lanczos.kernels.cpg import GROUP_PAD as _GROUP_PAD  # noqa: E402
+
+# the dma_idx clamp t0 = min(start + g*U, t_total - U) is only safe when
+# every pack keeps >= U ghost tiles past its real ones
+assert _U_MAX <= _GROUP_PAD, (_U_MAX, _GROUP_PAD)
 
 
 def _make_kernel(sub: int, resident_x: bool, U: int, n_pipe: int,

@@ -274,6 +274,8 @@ _KINDS = {
     "ba300k": (lambda G: G.barabasi_albert(300_000, 9, seed=7), None),
     "bn1M": (lambda G: G.barabasi_albert(1_000_000, 10, seed=0), 0.4166),
     "rmat540": (lambda G: G.rmat(540_000, 15_250_000, seed=0), 0.1200),
+    "copapers": (lambda G: G.clique_union(540_000, 1_240_000, seed=0),
+                 0.1200),
     "rmat4M": (lambda G: G.rmat(4_000_000, 34_700_000, seed=0), 1.3245),
     "ba4M": (lambda G: G.barabasi_albert(4_000_000, 9, seed=0), 1.3245),
 }

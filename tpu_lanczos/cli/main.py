@@ -13,6 +13,7 @@ pipeline is the JAX one (single chip, or row-sharded with --shards).
 from __future__ import annotations
 
 import argparse
+import sys
 import time
 
 import numpy as np
@@ -130,13 +131,29 @@ def main(argv=None) -> int:
         import jax
         from tpu_lanczos.dist import make_mesh, expm_action_sharded
 
+        if args.dtype == "df64":
+            print("error: --dtype df64 is single-chip only (use --shards 0)",
+                  file=sys.stderr)
+            return 2
+        if args.topk or args.low_mem:
+            print("error: --topk/--low-mem are single-chip modes",
+                  file=sys.stderr)
+            return 2
+        pack_kw = None
+        if args.fmt in ("cpg", "best"):
+            pack_kw = {}
+            if args.cpg_theta is not None:
+                pack_kw["theta"] = args.cpg_theta
+            if args.cpg_sub is not None:
+                pack_kw["sub"] = args.cpg_sub
+            if args.cpg_order != "auto":
+                pack_kw["order"] = args.cpg_order
         mesh = make_mesh(args.shards)
         ans, shift, state, _ = expm_action_sharded(
             g, k=k, mesh=mesh, dtype=args.dtype, fmt=args.fmt,
             reorthogonalize=args.reorthogonalize, log_scale=args.log_scale,
+            pack_kw=pack_kw,
         )
-        if shift is not None and not args.log_scale:
-            shift = None
     else:
         from tpu_lanczos.core.pipeline import expm_action
 
@@ -144,7 +161,7 @@ def main(argv=None) -> int:
         if args.fmt == "cpg" and (
             args.cpg_theta is not None or args.cpg_sub is not None
             or args.cpg_order != "auto" or args.cpg_theta_s != "auto"
-            or args.cpg_redeal != "auto"
+            or args.cpg_redeal != "auto" or args.cpg_layout != "auto"
         ):
             from tpu_lanczos.kernels.cpg import pack_cpg
 
@@ -159,8 +176,13 @@ def main(argv=None) -> int:
         if args.topk:
             from tpu_lanczos.core.pipeline import expm_action_summary
 
+            if args.fmt == "cst" or args.dtype == "df64":
+                print("error: --topk supports fmt best/cpg/ell/coo/hyb "
+                      "with f32/f64 dtypes", file=sys.stderr)
+                return 2
             srs = expm_action_summary(g, k=k, topk=args.topk, fmt=args.fmt,
-                                      dg=dg)
+                                      dtype=args.dtype, dg=dg,
+                                      ell_pct=args.ell_pct)
             t_device = time.time() - t0
             print(f"device summary pipeline: {t_device:.4f}s "
                   f"(includes compile on first run)")
@@ -173,6 +195,9 @@ def main(argv=None) -> int:
         if args.dtype == "df64":
             from tpu_lanczos.core.lanczos_df import expm_action_df
 
+            if args.fmt not in ("best", "cpg") or args.reorthogonalize:
+                print("note: df64 always runs the two-pass CPG pipeline "
+                      "(--fmt/--reorthogonalize ignored)", file=sys.stderr)
             res = expm_action_df(g, k=k, dg=dg, log_scale=args.log_scale)
         else:
             res = expm_action(
@@ -214,8 +239,9 @@ def main(argv=None) -> int:
                   "no comparison possible — rerun the oracle log-scaled")
 
     if args.verbose:
-        a = ans if shift is None else ans
-        top = np.argsort(a)[-10:][::-1]
+        # ans is argsort-equivalent to the true answer under --log-scale
+        # (scaling by e^shift > 0 preserves order)
+        top = np.argsort(ans)[-10:][::-1]
         print("top-10 central nodes:", ", ".join(map(str, top)))
 
     if args.write_ans:

@@ -82,6 +82,7 @@ def expm_action_summary(
     fmt: str = "best",
     spmv_impl: str = "auto",
     dg: DeviceGraph | None = None,
+    ell_pct: float = 98.0,
 ) -> SummaryResult:
     """Pipeline variant that reduces the answer ON DEVICE to its top-k
     entries + norm, so the device->host transfer is O(topk) instead of
@@ -97,7 +98,7 @@ def expm_action_summary(
 
             dg = pack_cpg(graph)
         else:
-            dg = pack(graph, fmt=fmt)
+            dg = pack(graph, fmt=fmt, ell_pct=ell_pct)
     dtype = jnp.dtype(dtype)
     mask = getattr(dg, "realmask", None)
     if mask is None or mask.ndim != 1 or mask.size != getattr(dg, "n_pad", -1):

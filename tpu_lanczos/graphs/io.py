@@ -29,13 +29,17 @@ def _read_tokens(path: str) -> tuple[int, int, np.ndarray]:
         data = f.read()
     # strip comment lines
     lines = data.split(b"\n")
-    body_start = 0
+    body_start = None
     for i, ln in enumerate(lines):
         if not ln.strip() or ln.lstrip().startswith(b"%"):
             continue
         body_start = i
         break
+    if body_start is None:
+        raise ValueError(f"{path}: no 'n n E' header (empty/comment-only)")
     header = lines[body_start].split()
+    if len(header) < 3:
+        raise ValueError(f"{path}: malformed header {header!r}")
     n = int(header[0])
     n2 = int(header[1])
     if n != n2:
@@ -45,14 +49,20 @@ def _read_tokens(path: str) -> tuple[int, int, np.ndarray]:
     arr = np.array(body.split(), dtype=np.float64)
     if arr.size == 0:
         return n, declared_e, np.zeros((0, 2), dtype=np.int64)
-    # lines may carry 2 or 3 tokens (pattern vs weighted mtx); infer width
-    if arr.size % 3 == 0 and declared_e * 3 == arr.size:
-        arr = arr.reshape(-1, 3)[:, :2]
-    elif arr.size % 2 == 0 and declared_e * 2 == arr.size:
-        arr = arr.reshape(-1, 2)
-    else:
-        # fall back: assume 2 columns
-        arr = arr[: (arr.size // 2) * 2].reshape(-1, 2)
+    # lines may carry 2 or 3 tokens (pattern vs weighted mtx); infer the
+    # width from the FIRST DATA LINE (the declared edge count is wrong
+    # often enough in the wild that keying on it reshaped weighted rows
+    # into garbage edge pairs)
+    first_data = b""
+    for ln in lines[body_start + 1:]:
+        if ln.strip():
+            first_data = ln
+            break
+    width = max(len(first_data.split()), 2)
+    if arr.size % width:
+        raise ValueError(
+            f"{path}: {arr.size} tokens do not tile {width}-column rows")
+    arr = arr.reshape(-1, width)[:, :2]
     edges = arr.astype(np.int64) - 1  # 1-indexed on disk
     return n, declared_e, edges
 
@@ -67,10 +77,13 @@ def read_mtx(path: str, use_native: bool = True) -> CSRGraph:
         try:
             from tpu_lanczos.graphs import native
 
-            if native.available():
-                return native.read_mtx(path)
+            ok = native.available()
         except Exception:
-            pass
+            ok = False
+        if ok:
+            # parse errors propagate: the numpy fallback is for a
+            # missing toolchain, not for masking malformed files
+            return native.read_mtx(path)
     n, _, edges = _read_tokens(path)
     return CSRGraph.from_edges(n, edges)
 

@@ -144,3 +144,28 @@ def test_sharded_pack_keeps_group_pad_tail():
             counts = np.asarray(lv["counts"])
             assert int(counts.sum(axis=1).max()) == t_real
             assert t_loc - t_real >= GROUP_PAD
+
+
+def test_sharded_mesh_uses_compact_halo_and_matches_oracle():
+    """Locality-ordered mesh packs must switch the MAIN level to the
+    compact boundary-chunk exchange (halo_sel present and far smaller
+    than the full accumulator) and still match the f64 oracle."""
+    g = generators.stencil_2d(600)  # n=360k -> enough chunks that the
+    # boundary is a small fraction of the graph
+    n_dev = 4
+    mesh = make_mesh(n_dev)
+    sg = pack_cpg_sharded(g, n_dev, mesh=mesh)
+    lv0 = sg.levels[0]
+    assert "halo_sel" in lv0, "mesh pack should take the halo path"
+    hsel = np.asarray(lv0["halo_sel"])
+    # exchanged buffer (n_shards * h_pad chunks) must be a small
+    # fraction of the full chunk count
+    assert hsel.shape[0] * hsel.shape[1] * 2 <= sg.n_chunks
+    x = jax.device_put(
+        jnp.asarray(sg.permute_in(np.ones(g.n), np.float64)),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(ROWS)),
+    )
+    st = lanczos_cpg_sharded(sg, x, 12, mesh, interpret=True)
+    ans = sg.permute_out(np.asarray(expmv.multiply_out_host_eig(st)))
+    ref = oracle.expm_action(g, np.ones(g.n), 12)
+    assert oracle.rel_error(ans, ref) < 1e-10

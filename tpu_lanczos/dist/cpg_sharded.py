@@ -118,25 +118,7 @@ def pack_cpg_sharded(
     for lv_i, lv in enumerate(cg.levels):
         d_ids = np.asarray(lv["d_ids"])
         s_ids = np.asarray(lv["s_ids"])
-        # reduce levels (lv_i >= 1) read virtual-cell partials only:
-        # compute the union of needed source chunks, each shard's owned
-        # share (padded to a common m_pad), and the remap of s_ids into
-        # the compact gathered buffer layout (concat of per-shard slabs)
         t_real_lv = int(np.asarray(lv["counts"]).sum())
-        sel = None
-        if lv_i >= 1:
-            needed = np.unique(s_ids[:t_real_lv])
-            owner = needed // c_loc
-            per_owner = np.bincount(np.minimum(owner, n_shards - 1),
-                                    minlength=n_shards)
-            m_pad = max(int(per_owner.max()), 1)
-            sel = np.zeros((n_shards, m_pad), dtype=np.int32)
-            remap = np.zeros(C, dtype=np.int32)
-            for sh in range(n_shards):
-                own = needed[owner == sh]
-                sel[sh, : own.size] = (own % c_loc).astype(np.int32)
-                remap[own] = sh * m_pad + np.arange(own.size, dtype=np.int32)
-            s_ids = remap[s_ids]
         run_ids = np.asarray(lv["run_ids"])
         l1 = np.asarray(lv["l1"])
         l2 = np.asarray(lv["l2"])
@@ -161,6 +143,53 @@ def pack_cpg_sharded(
         # single-chip _finalize invariant, kernels/cpg.py)
         t_loc = _round_up(t_loc_real + GROUP_PAD, 256)
 
+        sel = None
+        halo_bufpos = None
+        if lv_i >= 1:
+            # reduce levels read virtual-cell partials only: compute the
+            # union of needed source chunks, each shard's owned share
+            # (padded to a common m_pad), and the remap of s_ids into the
+            # compact gathered buffer (concat of per-shard slabs)
+            needed = np.unique(s_ids[:t_real_lv])
+            owner = needed // c_loc
+            per_owner = np.bincount(np.minimum(owner, n_shards - 1),
+                                    minlength=n_shards)
+            m_pad = max(int(per_owner.max()), 1)
+            sel = np.zeros((n_shards, m_pad), dtype=np.int32)
+            remap = np.zeros(C, dtype=np.int32)
+            for sh in range(n_shards):
+                own = needed[owner == sh]
+                sel[sh, : own.size] = (own % c_loc).astype(np.int32)
+                remap[own] = sh * m_pad + np.arange(own.size, dtype=np.int32)
+            s_ids = remap[s_ids]
+        else:
+            # MAIN level: when each shard sources few chunks outside its
+            # own block (locality-ordered meshes: near-diagonal tiles ->
+            # the halo is a couple of boundary chunks), exchange only the
+            # union of cross-shard chunks instead of all_gather'ing the
+            # whole vector — the europe-scale comm drops ~50x (the
+            # ppermute-halo discipline docs/DESIGN.md derives; power-law
+            # packs keep the full gather: their cross set is ~all chunks)
+            crosses = []
+            for sh in range(n_shards):
+                a, b = int(sh_start[sh]), int(sh_end[sh])
+                ns = np.unique(s_ids[a:b])
+                crosses.append(
+                    ns[(ns < sh * c_loc) | (ns >= (sh + 1) * c_loc)])
+            union_cross = (np.unique(np.concatenate(crosses))
+                           if crosses else np.zeros(0, np.int64))
+            if union_cross.size and union_cross.size * 2 <= C:
+                owner = np.minimum(union_cross // c_loc, n_shards - 1)
+                per_owner = np.bincount(owner, minlength=n_shards)
+                h_pad = max(int(per_owner.max()), 1)
+                sel = np.zeros((n_shards, h_pad), dtype=np.int32)
+                halo_bufpos = np.zeros(C, dtype=np.int32)
+                for sh in range(n_shards):
+                    own = union_cross[owner == sh]
+                    sel[sh, : own.size] = (own % c_loc).astype(np.int32)
+                    halo_bufpos[own] = (
+                        sh * h_pad + np.arange(own.size, dtype=np.int32))
+
         L1 = np.full((n_shards, t_loc * sub, LANE), LANE - 1, dtype=np.int8)
         L2 = np.zeros((n_shards, t_loc * LANE, sub), dtype=l2.dtype)
         S = np.zeros((n_shards, t_loc), dtype=np.int32)
@@ -172,7 +201,14 @@ def pack_cpg_sharded(
             m = b - a
             L1[s, : m * sub] = l1[a * sub: b * sub]
             L2[s, : m * LANE] = l2[a * LANE: b * LANE]
-            S[s, :m] = s_ids[a:b]
+            seg = s_ids[a:b]
+            if halo_bufpos is not None:
+                # shard-local x addressing: own chunk -> its position in
+                # q_loc; cross chunk -> c_loc + slot in the halo buffer
+                own = (seg >= s * c_loc) & (seg < (s + 1) * c_loc)
+                seg = np.where(own, seg - s * c_loc,
+                               c_loc + halo_bufpos[seg])
+            S[s, :m] = seg
             R[s, :m] = run_ids[a:b]
             ST[s] = starts[s * c_loc: (s + 1) * c_loc] - a
             CT[s] = counts[s * c_loc: (s + 1) * c_loc]
@@ -182,7 +218,9 @@ def pack_cpg_sharded(
             starts=jnp.asarray(ST), counts=jnp.asarray(CT),
         )
         t_reals.append(t_loc_real)
-        if sel is not None:
+        if halo_bufpos is not None:
+            lvd["halo_sel"] = jnp.asarray(sel)  # (n_shards, h_pad)
+        elif sel is not None:
             lvd["sel"] = jnp.asarray(sel)  # (n_shards, m_pad)
         if mesh is not None:
             P = jax.sharding.PartitionSpec
@@ -225,7 +263,8 @@ def _local_spmv(levels_loc, realmask_loc, q_loc, sub, c_loc, interpret,
         )
 
     def run(level, src_full, t_real=None):
-        lvl = {k: v[0] for k, v in level.items() if k != "sel"}
+        lvl = {k: v[0] for k, v in level.items()
+               if k not in ("sel", "halo_sel")}
         x2d = src_full.reshape(-1, LANE)
         # vma marks the kernel output device-varying so the shard_map
         # varying-axes checker stays ON for the whole Lanczos body
@@ -236,8 +275,19 @@ def _local_spmv(levels_loc, realmask_loc, q_loc, sub, c_loc, interpret,
     def t_real(i):
         return t_reals[i] if t_reals else None
 
-    q_full = jax.lax.all_gather(q_loc, ROWS, tiled=True)
-    y_loc = run(levels_loc[0], q_full, t_real(0)).reshape(-1)
+    lv0 = levels_loc[0]
+    if "halo_sel" in lv0:
+        # mesh-halo main level: exchange only the union of cross-shard
+        # boundary chunks; own chunks are read straight from q_loc
+        hsel = lv0["halo_sel"][0]
+        contrib = q_loc.reshape(c_loc, sub * LANE)[hsel].reshape(-1)
+        halo_full = jax.lax.all_gather(contrib, ROWS, tiled=True)
+        halo_full = jax.lax.pcast(halo_full, (ROWS,), to="varying")
+        y_loc = run(lv0, jnp.concatenate([q_loc, halo_full]),
+                    t_real(0)).reshape(-1)
+    else:
+        q_full = jax.lax.all_gather(q_loc, ROWS, tiled=True)
+        y_loc = run(lv0, q_full, t_real(0)).reshape(-1)
     for lv_i, level in enumerate(levels_loc[1:]):
         # exchange only the chunks this level's tiles source (the
         # virtual-cell partials): each shard contributes its owned

@@ -31,6 +31,11 @@ def test_two_process_distributed_lanczos(tmp_path):
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["JAX_PLATFORMS"] = "cpu"
+    # the worker imports tpu_lanczos; its script dir (tests/) is on
+    # sys.path but the repo root is only there when the package is
+    # installed — put it on PYTHONPATH so the test runs from a checkout
+    repo_root = os.path.dirname(_HERE)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(_HERE, "_multihost_worker.py"),

@@ -78,6 +78,36 @@ def test_cpg_wide_sub_l2_int16(sub):
     np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-11)
 
 
+def test_cpg_pair_mask_skips_match_full_mask():
+    """The masked second gather only ever skips structurally-zero units:
+    forcing every tile's pair_mask to all-ones (no skipping) must give
+    the identical SpMV result, and real packs must contain tiles that do
+    skip (else the mask is dead weight)."""
+    import dataclasses
+
+    g = GRAPHS["multichunk"]()
+    cg = pack_cpg(g, sub=512)
+    n_slab = 512 // 128
+    full = (1 << (n_slab * n_slab)) - 1
+    some_sparse = any(
+        np.asarray(lv["pair_mask"])[: int(np.asarray(lv["counts"]).sum())]
+        .min() < full
+        for lv in cg.levels
+    )
+    assert some_sparse
+    rng = np.random.default_rng(7)
+    xr = rng.standard_normal(g.n)
+    x = jnp.asarray(cg.permute_in(xr, np.float64))
+    got = np.asarray(spmv_cpg(cg, x, interpret=True))
+    levels_full = tuple(
+        {**lv, "pair_mask": jnp.full_like(lv["pair_mask"], full)}
+        for lv in cg.levels
+    )
+    cg_full = dataclasses.replace(cg, levels=levels_full)
+    want = np.asarray(spmv_cpg(cg_full, x, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_native_level_builder_wide_sub_matches_numpy():
     """Native and numpy level builders agree at sub=512 (int16 l2)."""
     from tpu_lanczos.graphs import native
@@ -97,6 +127,11 @@ def test_native_level_builder_wide_sub_matches_numpy():
     np.testing.assert_array_equal(lv_nat.d_ids, lv_np.d_ids)
     np.testing.assert_array_equal(lv_nat.l1, lv_np.l1)
     np.testing.assert_array_equal(lv_nat.l2, lv_np.l2)
+    np.testing.assert_array_equal(lv_nat.pair_mask, lv_np.pair_mask)
+    # the index-tile-derived mask recovery (legacy pack upgrade path)
+    # agrees with the entry-derived masks
+    np.testing.assert_array_equal(
+        cpg.mask_from_l1l2(lv_np.l1, lv_np.l2, sub), lv_np.pair_mask)
 
 
 def test_cpg_lane127_invariant():
@@ -134,6 +169,7 @@ def test_native_level_builder_matches_numpy():
     np.testing.assert_array_equal(lv_nat.d_ids, lv_np.d_ids)
     np.testing.assert_array_equal(lv_nat.l1, lv_np.l1)
     np.testing.assert_array_equal(lv_nat.l2, lv_np.l2)
+    np.testing.assert_array_equal(lv_nat.pair_mask, lv_np.pair_mask)
 
 
 def test_native_split_rows_matches_numpy():

@@ -120,6 +120,7 @@ def pack_cpg_sharded(
         s_ids = np.asarray(lv["s_ids"])
         t_real_lv = int(np.asarray(lv["counts"]).sum())
         run_ids = np.asarray(lv["run_ids"])
+        pair_mask = np.asarray(lv["pair_mask"])
         l1 = np.asarray(lv["l1"])
         l2 = np.asarray(lv["l2"])
         starts = np.asarray(lv["starts"])
@@ -194,6 +195,7 @@ def pack_cpg_sharded(
         L2 = np.zeros((n_shards, t_loc * LANE, sub), dtype=l2.dtype)
         S = np.zeros((n_shards, t_loc), dtype=np.int32)
         R = np.zeros((n_shards, t_loc), dtype=np.int32)
+        PM = np.zeros((n_shards, t_loc), dtype=np.int32)
         ST = np.zeros((n_shards, c_loc), dtype=np.int32)
         CT = np.zeros((n_shards, c_loc), dtype=np.int32)
         for s in range(n_shards):
@@ -210,11 +212,12 @@ def pack_cpg_sharded(
                                c_loc + halo_bufpos[seg])
             S[s, :m] = seg
             R[s, :m] = run_ids[a:b]
+            PM[s, :m] = pair_mask[a:b]
             ST[s] = starts[s * c_loc: (s + 1) * c_loc] - a
             CT[s] = counts[s * c_loc: (s + 1) * c_loc]
         lvd = dict(
             l1=jnp.asarray(L1), l2=jnp.asarray(L2), s_ids=jnp.asarray(S),
-            run_ids=jnp.asarray(R),
+            run_ids=jnp.asarray(R), pair_mask=jnp.asarray(PM),
             starts=jnp.asarray(ST), counts=jnp.asarray(CT),
         )
         t_reals.append(t_loc_real)

@@ -94,6 +94,8 @@ def _load():
         lib.gc_cpgl_tiles.argtypes = [c_p]
         lib.gc_cpgl_fill.restype = None
         lib.gc_cpgl_fill.argtypes = [c_p, c_p, c_p, c_p, c_p]
+        lib.gc_cpgl_fill_mask.restype = None
+        lib.gc_cpgl_fill_mask.argtypes = [c_p, c_p]
         lib.gc_cpgl_free.restype = None
         lib.gc_cpgl_free.argtypes = [c_p]
         lib.gc_split_rows.restype = c_i64
@@ -215,7 +217,8 @@ def cpg_build_level(src_pos: np.ndarray, dst_pos: np.ndarray, sub: int,
     """Native CPG level builder (full port of cpg.py _build_cpg_level's
     hot path: compaction, Konig tiers, tile numbering, l1/l2 fill with
     ghost-dest mex; ``slab=True`` builds source-slab-pure tiles with
-    uint8 ghost-bit l2).  Returns (l1, l2, s_ids, d_ids) numpy arrays."""
+    uint8 ghost-bit l2).  Returns (l1, l2, s_ids, d_ids, pair_mask)
+    numpy arrays."""
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native core unavailable: {_build_error}")
@@ -234,10 +237,12 @@ def cpg_build_level(src_pos: np.ndarray, dst_pos: np.ndarray, sub: int,
         )
         s_ids = np.empty(t, dtype=np.int32)
         d_ids = np.empty(t, dtype=np.int32)
+        pair_mask = np.empty(t, dtype=np.int32)
         lib.gc_cpgl_fill(h, _ptr(l1), _ptr(l2), _ptr(s_ids), _ptr(d_ids))
+        lib.gc_cpgl_fill_mask(h, _ptr(pair_mask))
     finally:
         lib.gc_cpgl_free(h)
-    return l1, l2, s_ids, d_ids
+    return l1, l2, s_ids, d_ids, pair_mask
 
 
 def split_rows(rows: np.ndarray, n_units0: int, theta: int):

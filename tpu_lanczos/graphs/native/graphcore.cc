@@ -615,6 +615,10 @@ struct CPGLevelHandle {
   std::vector<uint8_t> l2;
   std::vector<int32_t> s_ids;  // (T,)
   std::vector<int32_t> d_ids;  // (T,)
+  // (T,) per-tile slab-pair occupancy: bit (j * n_slab + si) set iff a
+  // real entry routes dest slab j <- staging slab si (classic layout;
+  // slab layout uses bit j only).  The kernel skips unset units.
+  std::vector<int32_t> mask;
 };
 
 }  // namespace
@@ -768,6 +772,15 @@ extern "C" void *gc_cpg_build_level(int64_t n_entries, int64_t sub,
     h->l1[static_cast<size_t>(row * LANE + ld[e])] = sl[e];
   }
 
+  // per-tile slab-pair occupancy mask (kernel unit-skip predicate)
+  h->mask.assign(static_cast<size_t>(T), 0);
+  for (int64_t e = 0; e < E; ++e) {
+    const int64_t bit = slabm
+        ? rd[e] / LANE
+        : (rd[e] / LANE) * n_slab + ss[e] / LANE;
+    h->mask[static_cast<size_t>(tile_of[e])] |= 1 << bit;
+  }
+
   if (slabm) {
     // slab mode: uint8 l2, 255 = ghost (bit7 masks to zero in-kernel)
     h->l2.assign(static_cast<size_t>(T) * LANE * sub, 255);
@@ -833,6 +846,10 @@ extern "C" void gc_cpgl_fill(void *hh, int8_t *l1, void *l2,
   std::memcpy(l2, h->l2.data(), h->l2.size());  // size() is already bytes
   std::memcpy(s_ids, h->s_ids.data(), h->s_ids.size() * sizeof(int32_t));
   std::memcpy(d_ids, h->d_ids.data(), h->d_ids.size() * sizeof(int32_t));
+}
+extern "C" void gc_cpgl_fill_mask(void *hh, int32_t *mask) {
+  auto *h = static_cast<CPGLevelHandle *>(hh);
+  std::memcpy(mask, h->mask.data(), h->mask.size() * sizeof(int32_t));
 }
 extern "C" void gc_cpgl_free(void *h) {
   delete static_cast<CPGLevelHandle *>(h);

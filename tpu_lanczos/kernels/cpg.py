@@ -83,6 +83,11 @@ class _CPGLevel:
     l2: np.ndarray
     s_ids: np.ndarray   # (T,) int32 — source chunk of each tile
     d_ids: np.ndarray   # (T,) int32 — dest chunk of each tile
+    # (T,) int32 — slab-pair occupancy: bit (j*n_slab + si) set iff a
+    # real entry routes dest slab j <- staging slab si (classic layout;
+    # slab layout uses bit j).  The kernel's second gather skips unset
+    # units (their cells are all ghost -> structurally zero).
+    pair_mask: np.ndarray
 
     @property
     def tiles(self) -> int:
@@ -341,8 +346,9 @@ def _build_cpg_level(src_pos: np.ndarray, dst_pos: np.ndarray, sub: int):
     (tests/test_cpg.py cross-checks the two)."""
     out = _native("cpg_build_level", src_pos, dst_pos, sub)
     if out is not None:
-        l1, l2, s_ids, d_ids = out
-        return _CPGLevel(l1=l1, l2=l2, s_ids=s_ids, d_ids=d_ids)
+        l1, l2, s_ids, d_ids, pair_mask = out
+        return _CPGLevel(l1=l1, l2=l2, s_ids=s_ids, d_ids=d_ids,
+                         pair_mask=pair_mask)
     return _build_cpg_level_np(src_pos, dst_pos, sub)
 
 
@@ -408,7 +414,15 @@ def _build_cpg_level_np(src_pos: np.ndarray, dst_pos: np.ndarray, sub: int):
     dt2 = _l2_dtype(sub)
     l2 = np.repeat(first_free[:, None], sub, axis=1).astype(dt2)
     l2[col, rd] = ss.astype(dt2)
-    return _CPGLevel(l1=l1, l2=l2, s_ids=s_ids, d_ids=d_ids)
+
+    n_slab = sub // LANE
+    pair_mask = np.zeros(T, dtype=np.int32)
+    np.bitwise_or.at(
+        pair_mask, tile_of,
+        (1 << ((rd // LANE) * n_slab + ss // LANE)).astype(np.int32),
+    )
+    return _CPGLevel(l1=l1, l2=l2, s_ids=s_ids, d_ids=d_ids,
+                     pair_mask=pair_mask)
 
 
 def _build_cpg_level_slab(src_pos: np.ndarray, dst_pos: np.ndarray,
@@ -422,8 +436,9 @@ def _build_cpg_level_slab(src_pos: np.ndarray, dst_pos: np.ndarray,
     fill needed, and l2 stays uint8 at any ``sub``)."""
     out = _native("cpg_build_level", src_pos, dst_pos, sub, slab=True)
     if out is not None:
-        l1, l2, s_ids, d_ids = out
-        return _CPGLevel(l1=l1, l2=l2, s_ids=s_ids, d_ids=d_ids)
+        l1, l2, s_ids, d_ids, pair_mask = out
+        return _CPGLevel(l1=l1, l2=l2, s_ids=s_ids, d_ids=d_ids,
+                         pair_mask=pair_mask)
     return _build_cpg_level_slab_np(src_pos, dst_pos, sub)
 
 
@@ -459,7 +474,12 @@ def _build_cpg_level_slab_np(src_pos: np.ndarray, dst_pos: np.ndarray,
     l1[tile_of * LANE + ssl, ld] = sl.astype(np.int8)
     l2 = np.full((T * LANE, sub), 255, dtype=np.uint8)  # bit7 = ghost
     l2[tile_of * LANE + ld, rd] = ssl.astype(np.uint8)
-    return _CPGLevel(l1=l1, l2=l2, s_ids=s_ids, d_ids=d_ids)
+    pair_mask = np.zeros(T, dtype=np.int32)
+    np.bitwise_or.at(
+        pair_mask, tile_of, (1 << (rd // LANE)).astype(np.int32)
+    )
+    return _CPGLevel(l1=l1, l2=l2, s_ids=s_ids, d_ids=d_ids,
+                     pair_mask=pair_mask)
 
 
 def _level_ranges(d_ids: np.ndarray, n_chunks: int):
@@ -490,9 +510,47 @@ def save_cpg(cg: CPGGraph, path: str) -> None:
         layout=cg.layout,
     )
     for i, lv in enumerate(cg.levels):
-        for k in ("l1", "l2", "s_ids", "d_ids", "run_ids", "starts", "counts"):
+        for k in ("l1", "l2", "s_ids", "d_ids", "run_ids", "starts",
+                  "counts", "pair_mask"):
             data[f"lv{i}_{k}"] = np.asarray(lv[k])
     np.savez(path, **data)
+
+
+def mask_from_l1l2(l1: np.ndarray, l2: np.ndarray, sub: int,
+                   layout: str = "classic") -> np.ndarray:
+    """Recover per-tile slab-pair occupancy masks from the index tiles
+    (for packs saved before pair_mask existed).
+
+    Classic layout: a dest cell (ld, rd) is real iff the staging cell it
+    selects is itself staged (l1 != ghost lane) — ghost cells point at a
+    mex staging sublane whose l1 column entry is 127.  Slab layout: bit 7
+    of l2 flags ghosts directly."""
+    n_slab = sub // LANE
+    if layout == "slab":
+        T = l2.shape[0] // LANE
+        mask = np.zeros(T, dtype=np.int32)
+        real = l2 < LANE                       # (T*128, sub)
+        j_any = real.reshape(T, LANE, n_slab, LANE).any(axis=(1, 3))
+        mask |= (j_any << np.arange(n_slab)).sum(axis=1).astype(np.int32)
+        return mask
+    T = l2.shape[0] // LANE
+    mask = np.zeros(T, dtype=np.int32)
+    CH = 4096
+    for t0 in range(0, T, CH):
+        t1 = min(t0 + CH, T)
+        tt = t1 - t0
+        L2 = l2[t0 * LANE: t1 * LANE].astype(np.int64)
+        L2 = L2.reshape(tt, LANE, sub)          # [t, ld, rd]
+        L1 = l1[t0 * sub: t1 * sub].reshape(tt, sub, LANE)
+        # staged lane of the staging cell each dest cell selects
+        g = np.take_along_axis(L1.transpose(0, 2, 1), L2, axis=2)
+        real = g != (LANE - 1)                  # (tt, LANE, sub)
+        unit = (np.arange(sub)[None, None, :] // LANE) * n_slab + (L2 >> 7)
+        bits = np.zeros((tt, n_slab * n_slab), bool)
+        tidx = np.broadcast_to(np.arange(tt)[:, None, None], unit.shape)
+        np.logical_or.at(bits, (tidx[real], unit[real]), True)
+        mask[t0:t1] = (bits << np.arange(n_slab * n_slab)).sum(axis=1)
+    return mask
 
 
 def load_cpg(path: str) -> CPGGraph:
@@ -509,6 +567,12 @@ def load_cpg(path: str) -> CPGGraph:
             lv["run_ids"] = np.asarray(z[key])
         else:  # packs saved before run caching existed
             lv["run_ids"] = _run_ids(lv["s_ids"], lv["d_ids"])
+        key = f"lv{i}_pair_mask"
+        if key in z:
+            lv["pair_mask"] = np.asarray(z[key])
+        else:  # packs saved before the masked second gather existed
+            lv["pair_mask"] = mask_from_l1l2(lv["l1"], lv["l2"], sub,
+                                             layout)
         # packs saved before the batched group DMA lack the >= GROUP_PAD
         # ghost-tile tail the kernel's group windows may read — extend
         tail = lv["s_ids"].shape[0] - int(lv["counts"].sum())
@@ -522,7 +586,7 @@ def load_cpg(path: str) -> CPGGraph:
                     if layout == "slab"
                     else np.zeros((extra * LANE, sub), lv["l2"].dtype))
             lv["l2"] = np.concatenate([lv["l2"], pad2])
-            for k in ("s_ids", "d_ids", "run_ids"):
+            for k in ("s_ids", "d_ids", "run_ids", "pair_mask"):
                 lv[k] = np.concatenate(
                     [lv[k], np.zeros(extra, dtype=lv[k].dtype)]
                 )
@@ -887,12 +951,15 @@ def _finalize(graph, n, n_units, theta, sub, pos_of, levels,
         d_ids[:T] = lv.d_ids
         run_ids = ids_pad.copy()
         run_ids[:T] = run_ids_real
+        pair_mask = ids_pad.copy()
+        pair_mask[:T] = lv.pair_mask
         dev_levels.append(dict(
             l1=jnp.asarray(l1),
             l2=jnp.asarray(l2),
             s_ids=jnp.asarray(s_ids),
             d_ids=jnp.asarray(d_ids),
             run_ids=jnp.asarray(run_ids),
+            pair_mask=jnp.asarray(pair_mask),
             starts=jnp.asarray(starts),
             counts=jnp.asarray(counts),
         ))

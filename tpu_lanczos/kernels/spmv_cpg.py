@@ -84,8 +84,8 @@ def _make_kernel(sub: int, resident_x: bool, U: int, n_pipe: int,
     # HBM); the x-chunk run stream keeps its own 2-group-deep window
     n_buf = 2 * U  # xs run slots
 
-    def _kernel(starts, counts, s_ids, run_ids, l1_hbm, l2_hbm, x_ref,
-                o_ref, *rest):
+    def _kernel(starts, counts, s_ids, run_ids, pair_mask, l1_hbm, l2_hbm,
+                x_ref, o_ref, *rest):
         if compensated:
             e_ref, l1_buf, l2_buf, xs_buf, sems_idx, sems_xs = rest
         else:
@@ -165,39 +165,62 @@ def _make_kernel(sub: int, resident_x: bool, U: int, n_pipe: int,
                 xs = x_ref[pl.ds(s * rows, rows), :]
             else:
                 xs = xs_buf[xs_slot(i)]
+            m = pair_mask[clamp(i)]
+            zero = jnp.zeros((LANE, LANE), x_ref.dtype)
             l1 = l1_buf[gslot, u * rows:(u + 1) * rows]
             g1 = jnp.take_along_axis(xs, l1.astype(jnp.int32), axis=1)
             g2 = g1.T  # (128, rows)
             l2 = l2_buf[gslot, u * LANE:(u + 1) * LANE].astype(jnp.int32)
             if slab:
                 # one (128,128) source slab per tile: per output slab,
-                # gather on the low 7 bits and mask ghost cells (bit 7)
-                zero = jnp.zeros((LANE, LANE), x_ref.dtype)
+                # gather on the low 7 bits and mask ghost cells (bit 7);
+                # output slabs with no real entries (pair_mask bit j
+                # unset) are all-ghost -> skip to zero
                 slabs = []
                 for j in range(n_slab):
                     idx = l2[:, j * LANE:(j + 1) * LANE]
-                    part = jnp.take_along_axis(g2, idx & (LANE - 1), axis=1)
-                    slabs.append(jnp.where(idx < LANE, part, zero))
+
+                    def deliver(idx=idx):
+                        part = jnp.take_along_axis(
+                            g2, idx & (LANE - 1), axis=1)
+                        return jnp.where(idx < LANE, part, zero)
+
+                    slabs.append(jax.lax.cond(
+                        (m >> j) & 1, deliver, lambda: zero))
                 if n_slab == 1:
                     return slabs[0]
                 return jnp.concatenate(slabs, axis=1)  # (128, sub)
             if n_slab == 1:
                 return jnp.take_along_axis(g2, l2, axis=1)
             slabs = []
+            full = (1 << n_slab) - 1
             for j in range(n_slab):  # output slabs along rd
                 idx = l2[:, j * LANE:(j + 1) * LANE]
-                # slab id + in-slab offset: the offset equals idx - si*128
-                # exactly where slab si is selected, so one shared gather
-                # index and one equality test per source slab suffice
-                q = idx >> 7
-                r = idx & (LANE - 1)
-                res = jnp.zeros((LANE, LANE), x_ref.dtype)
-                for si in range(n_slab):  # source slices along ss
-                    part = jnp.take_along_axis(
-                        g2[:, si * LANE:(si + 1) * LANE], r, axis=1
-                    )
-                    res = jnp.where(q == si, part, res)
-                slabs.append(res)
+                jm = (m >> (j * n_slab)) & full
+
+                def deliver(idx=idx, jm=jm):
+                    # slab id + in-slab offset: the offset equals
+                    # idx - si*128 exactly where slab si is selected, so
+                    # one shared gather index and one equality test per
+                    # source slab suffice.  Units whose pair_mask bit is
+                    # unset hold only ghost cells (structural zeros) —
+                    # the cond skips their gather+select entirely.
+                    q = idx >> 7
+                    r = idx & (LANE - 1)
+                    res = zero
+                    for si in range(n_slab):  # source slices along ss
+                        def unit(res=res, q=q, r=r, si=si):
+                            part = jnp.take_along_axis(
+                                g2[:, si * LANE:(si + 1) * LANE], r, axis=1
+                            )
+                            return jnp.where(q == si, part, res)
+
+                        res = jax.lax.cond(
+                            (jm >> si) & 1, unit, lambda res=res: res)
+                    return res
+
+                # whole output slab empty -> skip even the q/r int ops
+                slabs.append(jax.lax.cond(jm != 0, deliver, lambda: zero))
             return jnp.concatenate(slabs, axis=1)  # (128, sub)
 
         def body(g, carry):
@@ -277,7 +300,8 @@ def _run_level(x2d, level, n_chunks, sub, interpret, compensated=False,
                      int(level["s_ids"].shape[0]),
                      compensated=compensated, slab=slab),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,  # starts, counts, s_ids, run_ids
+            # starts, counts, s_ids, run_ids, pair_mask
+            num_scalar_prefetch=5,
             grid=(n_chunks,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),  # l1 stays in HBM
@@ -303,7 +327,7 @@ def _run_level(x2d, level, n_chunks, sub, interpret, compensated=False,
         interpret=interpret,
     )(
         level["starts"], level["counts"], level["s_ids"], level["run_ids"],
-        level["l1"], level["l2"], x2d,
+        level["pair_mask"], level["l1"], level["l2"], x2d,
     )
 
 

@@ -772,13 +772,19 @@ extern "C" void *gc_cpg_build_level(int64_t n_entries, int64_t sub,
     h->l1[static_cast<size_t>(row * LANE + ld[e])] = sl[e];
   }
 
-  // per-tile slab-pair occupancy mask (kernel unit-skip predicate)
-  h->mask.assign(static_cast<size_t>(T), 0);
-  for (int64_t e = 0; e < E; ++e) {
-    const int64_t bit = slabm
-        ? rd[e] / LANE
-        : (rd[e] / LANE) * n_slab + ss[e] / LANE;
-    h->mask[static_cast<size_t>(tile_of[e])] |= 1 << bit;
+  // per-tile slab-pair occupancy mask (kernel unit-skip predicate);
+  // past int32 capacity (sub >= 768 classic) the kernel is always
+  // dense, so emit the all-ones sentinel instead of shifting past 31
+  if (!slabm && n_slab * n_slab > 30) {
+    h->mask.assign(static_cast<size_t>(T), -1);
+  } else {
+    h->mask.assign(static_cast<size_t>(T), 0);
+    for (int64_t e = 0; e < E; ++e) {
+      const int64_t bit = slabm
+          ? rd[e] / LANE
+          : (rd[e] / LANE) * n_slab + ss[e] / LANE;
+      h->mask[static_cast<size_t>(tile_of[e])] |= 1 << bit;
+    }
   }
 
   if (slabm) {

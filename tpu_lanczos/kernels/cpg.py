@@ -416,11 +416,16 @@ def _build_cpg_level_np(src_pos: np.ndarray, dst_pos: np.ndarray, sub: int):
     l2[col, rd] = ss.astype(dt2)
 
     n_slab = sub // LANE
-    pair_mask = np.zeros(T, dtype=np.int32)
-    np.bitwise_or.at(
-        pair_mask, tile_of,
-        (1 << ((rd // LANE) * n_slab + ss // LANE)).astype(np.int32),
-    )
+    if n_slab * n_slab > _MASK_MAX_BITS:
+        # too many units for an int32 mask (sub >= 768): the kernel runs
+        # its branch-free dense path unconditionally there
+        pair_mask = np.full(T, -1, dtype=np.int32)
+    else:
+        pair_mask = np.zeros(T, dtype=np.int32)
+        np.bitwise_or.at(
+            pair_mask, tile_of,
+            (1 << ((rd // LANE) * n_slab + ss // LANE)).astype(np.int32),
+        )
     return _CPGLevel(l1=l1, l2=l2, s_ids=s_ids, d_ids=d_ids,
                      pair_mask=pair_mask)
 
@@ -516,6 +521,33 @@ def save_cpg(cg: CPGGraph, path: str) -> None:
     np.savez(path, **data)
 
 
+# Masked-dispatch economics (measured on v5e, bn1M k=50): a taken
+# in-kernel lax.cond costs ~52 cyc, a second-gather unit ~77 cyc.  The
+# kernel dispatches on mask == FULL: the pack forces the mask of every
+# tile whose occupancy is past the break-even to FULL so it runs the
+# branch-free dense path, and only genuinely sparse tiles (deep tiers,
+# reduce levels) pay per-unit branches where skipping actually wins.
+_COND_CYC = 52.0
+_UNIT_CYC = 77.0
+_MASK_MAX_BITS = 30  # int32 mask capacity (sub >= 768 -> always dense)
+
+
+def _densify_mask(pm: np.ndarray, sub: int, layout: str) -> np.ndarray:
+    n_slab = sub // LANE
+    if n_slab == 1:
+        return pm
+    u2 = n_slab if layout == "slab" else n_slab * n_slab
+    if u2 > _MASK_MAX_BITS:
+        return np.full_like(pm, -1)
+    n_conds = 0 if layout == "slab" else n_slab  # outer per-j conds
+    full = (1 << u2) - 1
+    occ = np.zeros_like(pm)
+    for i in range(u2):
+        occ += (pm >> i) & 1
+    thresh = (_UNIT_CYC * u2 - _COND_CYC * n_conds) / (_UNIT_CYC + _COND_CYC)
+    return np.where(occ <= int(thresh), pm, full).astype(pm.dtype)
+
+
 def mask_from_l1l2(l1: np.ndarray, l2: np.ndarray, sub: int,
                    layout: str = "classic") -> np.ndarray:
     """Recover per-tile slab-pair occupancy masks from the index tiles
@@ -534,22 +566,27 @@ def mask_from_l1l2(l1: np.ndarray, l2: np.ndarray, sub: int,
         mask |= (j_any << np.arange(n_slab)).sum(axis=1).astype(np.int32)
         return mask
     T = l2.shape[0] // LANE
+    if n_slab * n_slab > _MASK_MAX_BITS:
+        return np.full(T, -1, dtype=np.int32)
     mask = np.zeros(T, dtype=np.int32)
-    CH = 4096
+    u2 = n_slab * n_slab
+    CH = 1024
     for t0 in range(0, T, CH):
         t1 = min(t0 + CH, T)
         tt = t1 - t0
-        L2 = l2[t0 * LANE: t1 * LANE].astype(np.int64)
+        L2 = l2[t0 * LANE: t1 * LANE].astype(np.int32)
         L2 = L2.reshape(tt, LANE, sub)          # [t, ld, rd]
         L1 = l1[t0 * sub: t1 * sub].reshape(tt, sub, LANE)
         # staged lane of the staging cell each dest cell selects
         g = np.take_along_axis(L1.transpose(0, 2, 1), L2, axis=2)
         real = g != (LANE - 1)                  # (tt, LANE, sub)
-        unit = (np.arange(sub)[None, None, :] // LANE) * n_slab + (L2 >> 7)
-        bits = np.zeros((tt, n_slab * n_slab), bool)
-        tidx = np.broadcast_to(np.arange(tt)[:, None, None], unit.shape)
-        np.logical_or.at(bits, (tidx[real], unit[real]), True)
-        mask[t0:t1] = (bits << np.arange(n_slab * n_slab)).sum(axis=1)
+        unit = (np.arange(sub, dtype=np.int32)[None, None, :] // LANE
+                ) * n_slab + (L2 >> 7)
+        tidx = np.broadcast_to(
+            np.arange(tt, dtype=np.int32)[:, None, None], unit.shape)
+        keys = tidx[real] * u2 + unit[real]
+        occ = np.bincount(keys, minlength=tt * u2).reshape(tt, u2) > 0
+        mask[t0:t1] = (occ << np.arange(u2)).sum(axis=1)
     return mask
 
 
@@ -569,10 +606,10 @@ def load_cpg(path: str) -> CPGGraph:
             lv["run_ids"] = _run_ids(lv["s_ids"], lv["d_ids"])
         key = f"lv{i}_pair_mask"
         if key in z:
-            lv["pair_mask"] = np.asarray(z[key])
+            pm = np.asarray(z[key])
         else:  # packs saved before the masked second gather existed
-            lv["pair_mask"] = mask_from_l1l2(lv["l1"], lv["l2"], sub,
-                                             layout)
+            pm = mask_from_l1l2(lv["l1"], lv["l2"], sub, layout)
+        lv["pair_mask"] = _densify_mask(pm, sub, layout)
         # packs saved before the batched group DMA lack the >= GROUP_PAD
         # ghost-tile tail the kernel's group windows may read — extend
         tail = lv["s_ids"].shape[0] - int(lv["counts"].sum())
@@ -952,7 +989,7 @@ def _finalize(graph, n, n_units, theta, sub, pos_of, levels,
         run_ids = ids_pad.copy()
         run_ids[:T] = run_ids_real
         pair_mask = ids_pad.copy()
-        pair_mask[:T] = lv.pair_mask
+        pair_mask[:T] = _densify_mask(lv.pair_mask, sub, layout)
         dev_levels.append(dict(
             l1=jnp.asarray(l1),
             l2=jnp.asarray(l2),

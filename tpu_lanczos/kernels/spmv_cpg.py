@@ -192,36 +192,65 @@ def _make_kernel(sub: int, resident_x: bool, U: int, n_pipe: int,
                 return jnp.concatenate(slabs, axis=1)  # (128, sub)
             if n_slab == 1:
                 return jnp.take_along_axis(g2, l2, axis=1)
-            slabs = []
-            full = (1 << n_slab) - 1
-            for j in range(n_slab):  # output slabs along rd
-                idx = l2[:, j * LANE:(j + 1) * LANE]
-                jm = (m >> (j * n_slab)) & full
 
-                def deliver(idx=idx, jm=jm):
-                    # slab id + in-slab offset: the offset equals
-                    # idx - si*128 exactly where slab si is selected, so
-                    # one shared gather index and one equality test per
-                    # source slab suffice.  Units whose pair_mask bit is
-                    # unset hold only ghost cells (structural zeros) —
-                    # the cond skips their gather+select entirely.
+            def unit_gather(idx, si, q, r, res):
+                # slab id + in-slab offset: the offset equals idx - si*128
+                # exactly where slab si is selected, so one shared gather
+                # index and one equality test per source slab suffice
+                part = jnp.take_along_axis(
+                    g2[:, si * LANE:(si + 1) * LANE], r, axis=1
+                )
+                return jnp.where(q == si, part, res)
+
+            def dense():
+                # unconditional all-units path: empty units only select
+                # ghost zeros, so running them is always correct, and a
+                # taken lax.cond costs ~50 cyc (measured bn1M) — for
+                # mostly-occupied tiles branches lose, so the pack
+                # forces their mask to FULL and they dispatch here
+                slabs = []
+                for j in range(n_slab):
+                    idx = l2[:, j * LANE:(j + 1) * LANE]
                     q = idx >> 7
                     r = idx & (LANE - 1)
                     res = zero
-                    for si in range(n_slab):  # source slices along ss
-                        def unit(res=res, q=q, r=r, si=si):
-                            part = jnp.take_along_axis(
-                                g2[:, si * LANE:(si + 1) * LANE], r, axis=1
-                            )
-                            return jnp.where(q == si, part, res)
+                    for si in range(n_slab):
+                        res = unit_gather(idx, si, q, r, res)
+                    slabs.append(res)
+                return jnp.concatenate(slabs, axis=1)
 
-                        res = jax.lax.cond(
-                            (jm >> si) & 1, unit, lambda res=res: res)
-                    return res
+            if n_slab * n_slab > 30:  # past int32 mask capacity
+                return dense()
 
-                # whole output slab empty -> skip even the q/r int ops
-                slabs.append(jax.lax.cond(jm != 0, deliver, lambda: zero))
-            return jnp.concatenate(slabs, axis=1)  # (128, sub)
+            def sparse():
+                # per-unit skip path: only tiles whose occupancy is low
+                # enough that skipped gathers outweigh branch cost keep
+                # their true mask (see cpg._densify_mask)
+                full = (1 << n_slab) - 1
+                slabs = []
+                for j in range(n_slab):  # output slabs along rd
+                    idx = l2[:, j * LANE:(j + 1) * LANE]
+                    jm = (m >> (j * n_slab)) & full
+
+                    def deliver(idx=idx, jm=jm):
+                        q = idx >> 7
+                        r = idx & (LANE - 1)
+                        res = zero
+                        for si in range(n_slab):
+                            def unit(res=res, q=q, r=r, si=si, idx=idx):
+                                return unit_gather(idx, si, q, r, res)
+
+                            res = jax.lax.cond(
+                                (jm >> si) & 1, unit, lambda res=res: res)
+                        return res
+
+                    # whole output slab empty -> skip the q/r ops too
+                    slabs.append(jax.lax.cond(jm != 0, deliver,
+                                              lambda: zero))
+                return jnp.concatenate(slabs, axis=1)  # (128, sub)
+
+            return jax.lax.cond(m == (1 << (n_slab * n_slab)) - 1,
+                                dense, sparse)
 
         def body(g, carry):
             acc, err = carry

@@ -62,20 +62,26 @@ class ShardedCPG:
     # per-level max REAL tiles on any shard (static): the kernel's
     # unroll heuristic must not see the 256-rounded padded count
     t_reals: tuple = ()
+    # per-level static bool: compile the mask-dispatching kernel (see
+    # kernels/cpg.py CPGGraph.mask_sparse)
+    mask_sparse: tuple = ()
 
     def tree_flatten(self):
         return (self.levels, self.realmask), (
             self.n, self.n_shards, self.n_chunks, self.nnz, self.theta,
             self.sub, HostArray(self.new_of_old), self.t_reals,
+            self.mask_sparse,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        n, n_shards, n_chunks, nnz, theta, sub, noo, t_reals = aux
+        (n, n_shards, n_chunks, nnz, theta, sub, noo, t_reals,
+         mask_sparse) = aux
         levels, realmask = leaves
         return cls(n=n, n_shards=n_shards, n_chunks=n_chunks, nnz=nnz,
                    theta=theta, sub=sub, levels=levels, realmask=realmask,
-                   new_of_old=noo.a, t_reals=t_reals)
+                   new_of_old=noo.a, t_reals=t_reals,
+                   mask_sparse=mask_sparse)
 
     @property
     def n_pad(self) -> int:
@@ -251,11 +257,12 @@ def pack_cpg_sharded(
         n=cg.n, n_shards=n_shards, n_chunks=C, nnz=cg.nnz, theta=cg.theta,
         sub=sub, levels=tuple(levels), realmask=realmask,
         new_of_old=cg.new_of_old, t_reals=tuple(t_reals),
+        mask_sparse=cg.mask_sparse,
     )
 
 
 def _local_spmv(levels_loc, realmask_loc, q_loc, sub, c_loc, interpret,
-                t_reals=()):
+                t_reals=(), mask_sparse=()):
     """Per-shard SpMV (runs inside shard_map): all_gather the halo, run
     the unmodified CPG kernel over this shard's tiles."""
     n_sub_loc = c_loc * sub
@@ -265,18 +272,22 @@ def _local_spmv(levels_loc, realmask_loc, q_loc, sub, c_loc, interpret,
             n_sub_loc, LANE
         )
 
-    def run(level, src_full, t_real=None):
+    def run(level, src_full, t_real=None, sp=True):
         lvl = {k: v[0] for k, v in level.items()
                if k not in ("sel", "halo_sel")}
         x2d = src_full.reshape(-1, LANE)
         # vma marks the kernel output device-varying so the shard_map
         # varying-axes checker stays ON for the whole Lanczos body
         yt = _k._run_level(x2d, lvl, c_loc, sub, interpret,
-                           vma=frozenset({ROWS}), t_real=t_real)
+                           vma=frozenset({ROWS}), t_real=t_real,
+                           sparse_dispatch=sp)
         return untranspose(yt)
 
     def t_real(i):
         return t_reals[i] if t_reals else None
+
+    def sp(i):
+        return mask_sparse[i] if mask_sparse else True
 
     lv0 = levels_loc[0]
     if "halo_sel" in lv0:
@@ -287,10 +298,10 @@ def _local_spmv(levels_loc, realmask_loc, q_loc, sub, c_loc, interpret,
         halo_full = jax.lax.all_gather(contrib, ROWS, tiled=True)
         halo_full = jax.lax.pcast(halo_full, (ROWS,), to="varying")
         y_loc = run(lv0, jnp.concatenate([q_loc, halo_full]),
-                    t_real(0)).reshape(-1)
+                    t_real(0), sp(0)).reshape(-1)
     else:
         q_full = jax.lax.all_gather(q_loc, ROWS, tiled=True)
-        y_loc = run(lv0, q_full, t_real(0)).reshape(-1)
+        y_loc = run(lv0, q_full, t_real(0), sp(0)).reshape(-1)
     for lv_i, level in enumerate(levels_loc[1:]):
         # exchange only the chunks this level's tiles source (the
         # virtual-cell partials): each shard contributes its owned
@@ -299,7 +310,7 @@ def _local_spmv(levels_loc, realmask_loc, q_loc, sub, c_loc, interpret,
         contrib = y_loc.reshape(c_loc, sub * LANE)[sel].reshape(-1)
         compact_full = jax.lax.all_gather(contrib, ROWS, tiled=True)
         y_loc = y_loc + run(level, compact_full,
-                            t_real(lv_i + 1)).reshape(-1)
+                            t_real(lv_i + 1), sp(lv_i + 1)).reshape(-1)
     return y_loc * realmask_loc.astype(y_loc.dtype)
 
 
@@ -311,9 +322,10 @@ from tpu_lanczos.dist.mesh import sharded_lanczos_body
 
 @partial(jax.jit, static_argnames=(
     "mesh", "k", "sub", "c_loc", "interpret", "reorthogonalize",
-    "t_reals"))
+    "t_reals", "mask_sparse"))
 def _lanczos_cpg_shmap(mesh, levels, realmask, x, k, sub, c_loc,
-                       interpret, reorthogonalize, t_reals=()):
+                       interpret, reorthogonalize, t_reals=(),
+                       mask_sparse=()):
     P = jax.sharding.PartitionSpec
 
     def shard_spec(v):
@@ -324,7 +336,7 @@ def _lanczos_cpg_shmap(mesh, levels, realmask, x, k, sub, c_loc,
     def f(levels_loc, realmask_loc, x_loc):
         def local(q):
             return _local_spmv(levels_loc, realmask_loc, q, sub, c_loc,
-                               interpret, t_reals)
+                               interpret, t_reals, mask_sparse)
 
         return sharded_lanczos_body(local, x_loc, k, reorthogonalize)
 
@@ -357,7 +369,7 @@ def lanczos_cpg_sharded(
         mesh, sg.levels, sg.realmask, x,
         k=k, sub=sg.sub, c_loc=sg.c_loc,
         interpret=interpret, reorthogonalize=reorthogonalize,
-        t_reals=sg.t_reals,
+        t_reals=sg.t_reals, mask_sparse=sg.mask_sparse,
     )
     return LanczosState(
         alpha=alpha, beta=beta[: k - 1], q_basis=q_basis, x_norm=x_norm

@@ -49,6 +49,9 @@ CONFIGS = [
     dict(name="rmat_540k_e15M", kind="rmat", n=540_000, e=15_250_000,
          analog="coPapersDBLP scale with R-MAT social-graph skew instead "
                 "of clique locality (strictly harder layout stress case)",
+         # sub=256 wins even with the masked second gather: sub=512 cut
+         # tiles only 1.6x here while cyc/tile doubled (measured 0.2096s
+         # vs 0.1638s, round 3)
          ref_s=0.1200, ref_s_k100=0.3276, pack=dict(sub=256, theta=300)),
     dict(name="rmat_4M_e35M", kind="rmat", n=4_000_000, e=34_700_000,
          analog="com-LiveJournal n=4.0M nnz=69M (social; R-MAT carries "
@@ -87,7 +90,29 @@ def save_pack_cache(dg, path, pack_s):
     np.savez(path, **z)
 
 
-def build(cfg):
+def build(cfg, cache_dir=".bench_cache"):
+    """Generate the config's graph, cached as raw CSR — generation is
+    deterministic per config (seed=0 throughout) and the 4M-node
+    power-law graphs cost minutes to regenerate."""
+    import os
+
+    from tpu_lanczos.graphs.csr import CSRGraph
+
+    path = os.path.join(cache_dir, f"graph_{cfg['name']}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return CSRGraph(indptr=z["indptr"], indices=z["indices"],
+                        n=int(z["n"]))
+    g = _generate(cfg)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez(path, indptr=g.indptr, indices=g.indices, n=g.n)
+    except Exception:
+        pass
+    return g
+
+
+def _generate(cfg):
     from tpu_lanczos.graphs import generators
 
     if cfg["kind"] == "barabasi":

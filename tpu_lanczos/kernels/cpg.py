@@ -120,22 +120,27 @@ class CPGGraph:
     # the kernel's unroll heuristic sees actual tiles-per-chunk, not the
     # bucket-padded array length; () falls back to the padded shape
     t_reals: tuple = ()
+    # per-level static bool: any real tile kept a sparse (non-FULL)
+    # pair_mask after densify.  All-dense levels (meshes, uniform) get
+    # the branch-free kernel with no per-tile dispatch compiled at all.
+    mask_sparse: tuple = ()
 
     def tree_flatten(self):
         return (self.levels, self.realmask), (
             self.n, self.n_chunks, self.nnz, self.theta, self.sub,
             HostArray(self.new_of_old), self.n_bcast, self.layout,
-            self.t_reals,
+            self.t_reals, self.mask_sparse,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         (n, n_chunks, nnz, theta, sub, new_of_old, n_bcast, layout,
-         t_reals) = aux
+         t_reals, mask_sparse) = aux
         levels, realmask = leaves
         return cls(n=n, n_chunks=n_chunks, nnz=nnz, theta=theta, sub=sub,
                    levels=levels, realmask=realmask, new_of_old=new_of_old.a,
-                   n_bcast=n_bcast, layout=layout, t_reals=t_reals)
+                   n_bcast=n_bcast, layout=layout, t_reals=t_reals,
+                   mask_sparse=mask_sparse)
 
     @property
     def n_pad(self) -> int:
@@ -532,6 +537,18 @@ _UNIT_CYC = 77.0
 _MASK_MAX_BITS = 30  # int32 mask capacity (sub >= 768 -> always dense)
 
 
+def _mask_is_sparse(pm_real: np.ndarray, sub: int, layout: str) -> bool:
+    """True iff any REAL tile keeps a non-FULL mask after densify — the
+    static per-level switch for compiling the dispatching kernel."""
+    n_slab = sub // LANE
+    if n_slab == 1 or pm_real.size == 0:
+        return False
+    u2 = n_slab if layout == "slab" else n_slab * n_slab
+    if u2 > _MASK_MAX_BITS:
+        return False
+    return bool((pm_real != (1 << u2) - 1).any())
+
+
 def _densify_mask(pm: np.ndarray, sub: int, layout: str) -> np.ndarray:
     n_slab = sub // LANE
     if n_slab == 1:
@@ -610,6 +627,8 @@ def load_cpg(path: str) -> CPGGraph:
         else:  # packs saved before the masked second gather existed
             pm = mask_from_l1l2(lv["l1"], lv["l2"], sub, layout)
         lv["pair_mask"] = _densify_mask(pm, sub, layout)
+        mask_sparse.append(_mask_is_sparse(
+            lv["pair_mask"][: int(lv["counts"].sum())], sub, layout))
         # packs saved before the batched group DMA lack the >= GROUP_PAD
         # ghost-tile tail the kernel's group windows may read — extend
         tail = lv["s_ids"].shape[0] - int(lv["counts"].sum())
@@ -629,6 +648,7 @@ def load_cpg(path: str) -> CPGGraph:
                 )
         return {k: jnp.asarray(v) for k, v in lv.items()}
 
+    mask_sparse: list = []
     levels = tuple(level(i) for i in range(int(z["n_levels"])))
     t_reals = tuple(
         int(np.asarray(z[f"lv{i}_counts"]).sum())
@@ -639,7 +659,7 @@ def load_cpg(path: str) -> CPGGraph:
         theta=int(z["theta"]), sub=sub, levels=levels,
         realmask=jnp.asarray(z["realmask"]), new_of_old=z["new_of_old"],
         n_bcast=int(z["n_bcast"]) if "n_bcast" in z else 0,
-        layout=layout, t_reals=t_reals,
+        layout=layout, t_reals=t_reals, mask_sparse=tuple(mask_sparse),
     )
 
 
@@ -962,6 +982,7 @@ def _finalize(graph, n, n_units, theta, sub, pos_of, levels,
     realmask[new_of_old] = 1.0
 
     dev_levels = []
+    mask_sparse = []
     for lv in levels:
         starts, counts = _level_ranges(lv.d_ids, n_chunks)
         run_ids_real = _run_ids(lv.s_ids, lv.d_ids)
@@ -988,8 +1009,10 @@ def _finalize(graph, n, n_units, theta, sub, pos_of, levels,
         d_ids[:T] = lv.d_ids
         run_ids = ids_pad.copy()
         run_ids[:T] = run_ids_real
+        pm_dens = _densify_mask(lv.pair_mask, sub, layout)
+        mask_sparse.append(_mask_is_sparse(pm_dens, sub, layout))
         pair_mask = ids_pad.copy()
-        pair_mask[:T] = _densify_mask(lv.pair_mask, sub, layout)
+        pair_mask[:T] = pm_dens
         dev_levels.append(dict(
             l1=jnp.asarray(l1),
             l2=jnp.asarray(l2),
@@ -1006,4 +1029,5 @@ def _finalize(graph, n, n_units, theta, sub, pos_of, levels,
         levels=dev_levels, realmask=jnp.asarray(realmask),
         new_of_old=new_of_old, n_bcast=n_bcast, layout=layout,
         t_reals=tuple(lv.s_ids.shape[0] for lv in levels),
+        mask_sparse=tuple(mask_sparse),
     )

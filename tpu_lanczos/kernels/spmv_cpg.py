@@ -74,7 +74,7 @@ assert _U_MAX <= _GROUP_PAD, (_U_MAX, _GROUP_PAD)
 
 def _make_kernel(sub: int, resident_x: bool, U: int, n_pipe: int,
                  t_total: int, compensated: bool = False,
-                 slab: bool = False):
+                 slab: bool = False, sparse_dispatch: bool = True):
     n_slab = sub // LANE
     # slab layout: each tile reads one (128, 128) source slab (s_ids are
     # global slab ids); l2's high bit flags ghost dest cells
@@ -185,8 +185,11 @@ def _make_kernel(sub: int, resident_x: bool, U: int, n_pipe: int,
                             g2, idx & (LANE - 1), axis=1)
                         return jnp.where(idx < LANE, part, zero)
 
-                    slabs.append(jax.lax.cond(
-                        (m >> j) & 1, deliver, lambda: zero))
+                    if sparse_dispatch:
+                        slabs.append(jax.lax.cond(
+                            (m >> j) & 1, deliver, lambda: zero))
+                    else:
+                        slabs.append(deliver())
                 if n_slab == 1:
                     return slabs[0]
                 return jnp.concatenate(slabs, axis=1)  # (128, sub)
@@ -219,7 +222,9 @@ def _make_kernel(sub: int, resident_x: bool, U: int, n_pipe: int,
                     slabs.append(res)
                 return jnp.concatenate(slabs, axis=1)
 
-            if n_slab * n_slab > 30:  # past int32 mask capacity
+            # all-dense levels (and masks past int32 capacity) compile
+            # the branch-free path with no per-tile dispatch at all
+            if not sparse_dispatch or n_slab * n_slab > 30:
                 return dense()
 
             def sparse():
@@ -303,7 +308,7 @@ _RESIDENT_X_LIMIT = 8 * 1024 * 1024
 
 
 def _run_level(x2d, level, n_chunks, sub, interpret, compensated=False,
-               vma=None, slab=False, t_real=None):
+               vma=None, slab=False, t_real=None, sparse_dispatch=True):
     resident_x = x2d.size * x2d.dtype.itemsize <= _RESIDENT_X_LIMIT
     l2_dtype = level["l2"].dtype
     rows = LANE if slab else sub
@@ -327,7 +332,8 @@ def _run_level(x2d, level, n_chunks, sub, interpret, compensated=False,
     return pl.pallas_call(
         _make_kernel(sub, resident_x, U, _N_PIPE,
                      int(level["s_ids"].shape[0]),
-                     compensated=compensated, slab=slab),
+                     compensated=compensated, slab=slab,
+                     sparse_dispatch=sparse_dispatch),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             # starts, counts, s_ids, run_ids, pair_mask
             num_scalar_prefetch=5,
@@ -378,19 +384,23 @@ def spmv_cpg(cg: CPGGraph, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarr
     def t_real(i):
         return cg.t_reals[i] if cg.t_reals else None
 
+    def sp(i):
+        return cg.mask_sparse[i] if cg.mask_sparse else True
+
     for i, level in enumerate(cg.levels[:nb]):
         # broadcast pass: copy split-source parents' x values into their
         # copy slots (exact: copy slots are zero in x, one entry per cell)
         x2d = x2d + untranspose(
             _run_level(x2d, level, C, sub, interpret, slab=slab,
-                       t_real=t_real(i))
+                       t_real=t_real(i), sparse_dispatch=sp(i))
         )
     yt = _run_level(x2d, cg.levels[nb], C, sub, interpret, slab=slab,
-                    t_real=t_real(nb))
+                    t_real=t_real(nb), sparse_dispatch=sp(nb))
     y2d = untranspose(yt)
     for i, level in enumerate(cg.levels[nb + 1:]):
         yt = _run_level(y2d, level, C, sub, interpret, slab=slab,
-                        t_real=t_real(nb + 1 + i))
+                        t_real=t_real(nb + 1 + i),
+                        sparse_dispatch=sp(nb + 1 + i))
         y2d = y2d + untranspose(yt)
     y = y2d.reshape(-1) * cg.realmask.astype(x.dtype)
     return y
@@ -424,30 +434,36 @@ def spmv_cpg_df(cg: CPGGraph, x_hi: jnp.ndarray, x_lo: jnp.ndarray,
     def t_real(i):
         return cg.t_reals[i] if cg.t_reals else None
 
+    def sp(i):
+        return cg.mask_sparse[i] if cg.mask_sparse else True
+
     for i, level in enumerate(cg.levels[:nb]):
         # broadcast pass moves values exactly (one entry per dest cell,
         # all other contributions are structural zeros) -> plain kernel
         # on hi and lo separately introduces no rounding
         hi2d = hi2d + untranspose(
             _run_level(hi2d, level, C, sub, interpret, slab=slab,
-                       t_real=t_real(i))
+                       t_real=t_real(i), sparse_dispatch=sp(i))
         )
         lo2d = lo2d + untranspose(
             _run_level(lo2d, level, C, sub, interpret, slab=slab,
-                       t_real=t_real(i))
+                       t_real=t_real(i), sparse_dispatch=sp(i))
         )
     yt, et = _run_level(hi2d, cg.levels[nb], C, sub, interpret,
-                        compensated=True, slab=slab, t_real=t_real(nb))
+                        compensated=True, slab=slab, t_real=t_real(nb),
+                        sparse_dispatch=sp(nb))
     lt = _run_level(lo2d, cg.levels[nb], C, sub, interpret, slab=slab,
-                    t_real=t_real(nb))
+                    t_real=t_real(nb), sparse_dispatch=sp(nb))
     y2d = untranspose(yt)
     e2d = untranspose(et) + untranspose(lt)
     for i, level in enumerate(cg.levels[nb + 1:]):
         yt, et = _run_level(y2d, level, C, sub, interpret,
                             compensated=True, slab=slab,
-                            t_real=t_real(nb + 1 + i))
+                            t_real=t_real(nb + 1 + i),
+                            sparse_dispatch=sp(nb + 1 + i))
         lt = _run_level(e2d, level, C, sub, interpret, slab=slab,
-                        t_real=t_real(nb + 1 + i))
+                        t_real=t_real(nb + 1 + i),
+                        sparse_dispatch=sp(nb + 1 + i))
         y2d, t = two_sum(y2d, untranspose(yt))
         e2d = e2d + t + untranspose(et) + untranspose(lt)
     # two_sum (not fast_two_sum): after cancellation in the hi stream a

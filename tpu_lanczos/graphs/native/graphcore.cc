@@ -609,16 +609,19 @@ int64_t edge_color_greedy_impl(int64_t n_edges, int64_t n_a, int64_t n_b,
 struct CPGLevelHandle {
   int64_t sub = 0;
   int64_t tiles = 0;
-  std::vector<int8_t> l1;    // (T*sub, 128)
-  // (T*128, sub) raw bytes; element width 1 (uint8) when sub <= 256,
-  // else 2 (int16) — ss values range over [0, sub)
-  std::vector<uint8_t> l2;
+  bool slabm = false;
   std::vector<int32_t> s_ids;  // (T,)
   std::vector<int32_t> d_ids;  // (T,)
   // (T,) per-tile slab-pair occupancy: bit (j * n_slab + si) set iff a
   // real entry routes dest slab j <- staging slab si (classic layout;
   // slab layout uses bit j only).  The kernel skips unset units.
   std::vector<int32_t> mask;
+  // retained per-entry routing data: the l1/l2 index tiles are scattered
+  // DIRECTLY into the caller's numpy buffers by gc_cpgl_fill (building
+  // them here and memcpy'ing out cost an extra ~3.3 GB of traffic and
+  // first-touch faults per 70M-entry level)
+  std::vector<int32_t> tile_of, ss, rd, ld;
+  std::vector<int8_t> sl;
 };
 
 }  // namespace
@@ -755,21 +758,13 @@ extern "C" void *gc_cpg_build_level(int64_t n_entries, int64_t sub,
   auto *h = new CPGLevelHandle;
   h->sub = sub;
   h->tiles = T;
+  h->slabm = slabm;
   h->s_ids.resize(static_cast<size_t>(T));
   h->d_ids.resize(static_cast<size_t>(T));
   for (int64_t t = 0; t < T; ++t) {
     const int64_t block = uniq_t[static_cast<size_t>(t)] / tier_mult;
     h->d_ids[static_cast<size_t>(t)] = static_cast<int32_t>(block / SB);
     h->s_ids[static_cast<size_t>(t)] = static_cast<int32_t>(block % SB);
-  }
-
-  // l1: ghost lane 127 everywhere, then scatter real source lanes
-  const int64_t rows = slabm ? LANE : sub;
-  h->l1.assign(static_cast<size_t>(T) * rows * LANE,
-               static_cast<int8_t>(LANE - 1));
-  for (int64_t e = 0; e < E; ++e) {
-    const int64_t row = static_cast<int64_t>(tile_of[e]) * rows + ss[e];
-    h->l1[static_cast<size_t>(row * LANE + ld[e])] = sl[e];
   }
 
   // per-tile slab-pair occupancy mask (kernel unit-skip predicate);
@@ -786,59 +781,15 @@ extern "C" void *gc_cpg_build_level(int64_t n_entries, int64_t sub,
       h->mask[static_cast<size_t>(tile_of[e])] |= 1 << bit;
     }
   }
+  lap("mask");
 
-  if (slabm) {
-    // slab mode: uint8 l2, 255 = ghost (bit7 masks to zero in-kernel)
-    h->l2.assign(static_cast<size_t>(T) * LANE * sub, 255);
-    for (int64_t e = 0; e < E; ++e) {
-      const int64_t col = static_cast<int64_t>(tile_of[e]) * LANE + ld[e];
-      h->l2[static_cast<size_t>(col * sub + rd[e])] =
-          static_cast<uint8_t>(ss[e]);
-    }
-    lap("fills");
-    return h;
-  }
-
-  // l2: per-(tile, ld) column, ghost dest cells select the first staging
-  // row whose l1 is ghost in that column (mex of the staged ss set)
-  const int64_t words = (sub + 63) / 64;
-  std::vector<uint64_t> bits(static_cast<size_t>(T) * LANE * words, 0);
-  for (int64_t e = 0; e < E; ++e) {
-    const int64_t col = static_cast<int64_t>(tile_of[e]) * LANE + ld[e];
-    bits[static_cast<size_t>(col * words + ss[e] / 64)] |=
-        1ull << (ss[e] % 64);
-  }
-  const bool wide = sub > 256;  // int16 elements past the uint8 range
-  h->l2.resize(static_cast<size_t>(T) * LANE * sub * (wide ? 2 : 1));
-  int16_t *l2w = reinterpret_cast<int16_t *>(h->l2.data());
-  for (int64_t col = 0; col < T * LANE; ++col) {
-    int64_t ff = sub - 1;  // fully-staged columns have no ghost dest cells
-    for (int64_t w = 0; w < words; ++w) {
-      const uint64_t f = ~bits[static_cast<size_t>(col * words + w)];
-      if (f) {
-        const int64_t c = w * 64 + __builtin_ctzll(f);
-        if (c < sub) { ff = c; break; }
-      }
-    }
-    if (wide) {
-      std::fill(l2w + col * sub, l2w + (col + 1) * sub,
-                static_cast<int16_t>(ff));
-    } else {
-      std::memset(&h->l2[static_cast<size_t>(col * sub)],
-                  static_cast<int>(ff), static_cast<size_t>(sub));
-    }
-  }
-  for (int64_t e = 0; e < E; ++e) {
-    const int64_t col = static_cast<int64_t>(tile_of[e]) * LANE + ld[e];
-    if (wide) {
-      l2w[static_cast<size_t>(col * sub + rd[e])] =
-          static_cast<int16_t>(ss[e]);
-    } else {
-      h->l2[static_cast<size_t>(col * sub + rd[e])] =
-          static_cast<uint8_t>(ss[e]);
-    }
-  }
-  lap("fills");
+  // retain the per-entry routing data; gc_cpgl_fill scatters the l1/l2
+  // index tiles straight into the caller's numpy buffers
+  h->tile_of = std::move(tile_of);
+  h->ss = std::move(ss);
+  h->rd = std::move(rd);
+  h->ld = std::move(ld);
+  h->sl = std::move(sl);
   return h;
 }
 
@@ -848,8 +799,76 @@ extern "C" int64_t gc_cpgl_tiles(void *h) {
 extern "C" void gc_cpgl_fill(void *hh, int8_t *l1, void *l2,
                              int32_t *s_ids, int32_t *d_ids) {
   auto *h = static_cast<CPGLevelHandle *>(hh);
-  std::memcpy(l1, h->l1.data(), h->l1.size());
-  std::memcpy(l2, h->l2.data(), h->l2.size());  // size() is already bytes
+  const int64_t LANE = 128;
+  const int64_t sub = h->sub;
+  const int64_t T = h->tiles;
+  const int64_t E = static_cast<int64_t>(h->tile_of.size());
+  const bool slabm = h->slabm;
+  const int64_t rows = slabm ? LANE : sub;
+  const int32_t *tile_of = h->tile_of.data();
+  const int32_t *ss = h->ss.data();
+  const int32_t *rd = h->rd.data();
+  const int32_t *ld = h->ld.data();
+  const int8_t *sl = h->sl.data();
+
+  // l1: ghost lane 127 everywhere, then scatter real source lanes
+  std::memset(l1, LANE - 1, static_cast<size_t>(T) * rows * LANE);
+  for (int64_t e = 0; e < E; ++e) {
+    const int64_t row = static_cast<int64_t>(tile_of[e]) * rows + ss[e];
+    l1[static_cast<size_t>(row * LANE + ld[e])] = sl[e];
+  }
+
+  if (slabm) {
+    // slab mode: uint8 l2, 255 = ghost (bit7 masks to zero in-kernel)
+    auto *l2b = static_cast<uint8_t *>(l2);
+    std::memset(l2b, 255, static_cast<size_t>(T) * LANE * sub);
+    for (int64_t e = 0; e < E; ++e) {
+      const int64_t col = static_cast<int64_t>(tile_of[e]) * LANE + ld[e];
+      l2b[static_cast<size_t>(col * sub + rd[e])] =
+          static_cast<uint8_t>(ss[e]);
+    }
+  } else {
+    // l2: per-(tile, ld) column, ghost dest cells select the first
+    // staging row whose l1 is ghost in that column (mex of the staged
+    // ss set)
+    const int64_t words = (sub + 63) / 64;
+    std::vector<uint64_t> bits(static_cast<size_t>(T) * LANE * words, 0);
+    for (int64_t e = 0; e < E; ++e) {
+      const int64_t col = static_cast<int64_t>(tile_of[e]) * LANE + ld[e];
+      bits[static_cast<size_t>(col * words + ss[e] / 64)] |=
+          1ull << (ss[e] % 64);
+    }
+    const bool wide = sub > 256;  // int16 elements past the uint8 range
+    auto *l2b = static_cast<uint8_t *>(l2);
+    auto *l2w = static_cast<int16_t *>(l2);
+    for (int64_t col = 0; col < T * LANE; ++col) {
+      int64_t ff = sub - 1;  // fully-staged columns have no ghost cells
+      for (int64_t w = 0; w < words; ++w) {
+        const uint64_t f = ~bits[static_cast<size_t>(col * words + w)];
+        if (f) {
+          const int64_t c = w * 64 + __builtin_ctzll(f);
+          if (c < sub) { ff = c; break; }
+        }
+      }
+      if (wide) {
+        std::fill(l2w + col * sub, l2w + (col + 1) * sub,
+                  static_cast<int16_t>(ff));
+      } else {
+        std::memset(l2b + col * sub, static_cast<int>(ff),
+                    static_cast<size_t>(sub));
+      }
+    }
+    for (int64_t e = 0; e < E; ++e) {
+      const int64_t col = static_cast<int64_t>(tile_of[e]) * LANE + ld[e];
+      if (wide) {
+        l2w[static_cast<size_t>(col * sub + rd[e])] =
+            static_cast<int16_t>(ss[e]);
+      } else {
+        l2b[static_cast<size_t>(col * sub + rd[e])] =
+            static_cast<uint8_t>(ss[e]);
+      }
+    }
+  }
   std::memcpy(s_ids, h->s_ids.data(), h->s_ids.size() * sizeof(int32_t));
   std::memcpy(d_ids, h->d_ids.data(), h->d_ids.size() * sizeof(int32_t));
 }

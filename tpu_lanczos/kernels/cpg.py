@@ -608,6 +608,9 @@ def mask_from_l1l2(l1: np.ndarray, l2: np.ndarray, sub: int,
 
 
 def load_cpg(path: str) -> CPGGraph:
+    from tpu_lanczos.utils import enable_heap_reuse
+
+    enable_heap_reuse()
     z = np.load(path)
     sub = int(z["sub"]) if "sub" in z else 128
     layout = str(z["layout"]) if "layout" in z else "classic"
@@ -744,6 +747,9 @@ def pack_cpg(
     the entry dealing from global round-robin to block-aware
     (_group_deal); "auto" (None) follows the same dichotomy.
     """
+    from tpu_lanczos.utils import enable_heap_reuse
+
+    enable_heap_reuse()  # pack temporaries fault once, not per pass
     n = graph.n
     del seed  # orderings are deterministic; kept for API stability
     if sub is None:

@@ -259,3 +259,58 @@ def test_group_deal_native_matches_numpy():
     got1 = native.group_deal(np.zeros(10, np.int64), np.zeros(10, np.int64),
                              np.ones(1, np.int64))
     np.testing.assert_array_equal(got1, 0)
+
+
+def test_densify_mask_thresholds():
+    """Break-even densify: sparse masks survive only at low occupancy;
+    wide subs (u2 > int32 capacity) force the all-dense sentinel."""
+    from tpu_lanczos.kernels.cpg import _densify_mask
+
+    # sub=512 classic: u2=16, threshold (77*16 - 52*4)/129 ~ 7.9
+    full = (1 << 16) - 1
+    lo = np.int32((1 << 7) - 1)       # occ 7 -> kept
+    hi = np.int32((1 << 9) - 1)       # occ 9 -> densified
+    out = _densify_mask(np.array([lo, hi, full], np.int32), 512, "classic")
+    np.testing.assert_array_equal(out, [lo, full, full])
+    # sub=128: single-gather kernel, masks pass through untouched
+    pm = np.array([1, 0], np.int32)
+    np.testing.assert_array_equal(_densify_mask(pm, 128, "classic"), pm)
+    # sub=1024 classic: u2=64 > 30 -> all-ones sentinel
+    out = _densify_mask(np.array([3, 9], np.int32), 1024, "classic")
+    np.testing.assert_array_equal(out, [-1, -1])
+
+
+def test_mask_from_l1l2_slab_layout():
+    """Slab-layout mask recovery (bit j = output slab j has a real
+    entry) agrees with the builder's entry-derived mask."""
+    from tpu_lanczos.kernels import cpg
+
+    rng = np.random.default_rng(5)
+    sub = 256
+    span = sub * 128 * 2
+    src = rng.integers(0, span, 30_000)
+    dst = rng.integers(0, span, 30_000)
+    lv = cpg._build_cpg_level_slab_np(src, dst, sub)
+    got = cpg.mask_from_l1l2(lv.l1, lv.l2, sub, "slab")
+    np.testing.assert_array_equal(got, lv.pair_mask)
+
+
+def test_mask_sparse_flag_consistent():
+    """The static per-level mask_sparse flag must agree with the level's
+    actual (real-tile) masks: True iff any real tile kept a non-FULL
+    mask after densify — a stale flag either compiles dead dispatch or,
+    worse, drops the sparse path for a level that needs it."""
+    from tpu_lanczos.graphs import generators
+
+    for g, sub in ((generators.stencil_2d(600), 256),
+                   (GRAPHS["multichunk"](), 512)):
+        cg = pack_cpg(g, sub=sub)
+        u2 = (sub // 128) ** 2
+        full = (1 << u2) - 1
+        assert len(cg.mask_sparse) == len(cg.levels)
+        for flag, lv in zip(cg.mask_sparse, cg.levels):
+            pm = np.asarray(lv["pair_mask"])[
+                : int(np.asarray(lv["counts"]).sum())]
+            assert flag == bool((pm != full).any())
+    # power-law at wide sub must actually exercise the sparse path
+    assert any(pack_cpg(GRAPHS["multichunk"](), sub=512).mask_sparse)

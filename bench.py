@@ -60,9 +60,10 @@ def load_graph():
 def main():
     import jax
 
-    from tpu_lanczos.utils import enable_compile_cache
+    from tpu_lanczos.utils import enable_compile_cache, enable_heap_reuse
 
     enable_compile_cache()
+    enable_heap_reuse()
     g = load_graph()
     from tpu_lanczos.core.pipeline import best_device_pack
     from tpu_lanczos.core.lanczos import lanczos
@@ -109,6 +110,7 @@ def main():
         t0 = time.time()
         sts = [lanczos(dg, x, K) for _ in range(BATCH)]
         np.asarray(sts[-1].alpha)  # device executes in order: syncs all
+        del sts  # free the batch's q_basis buffers before the next one
         times.append((time.time() - t0) / BATCH)
     t = float(np.median(times))
     log(f"runs (per-dispatch, batch {BATCH}): {[round(x, 4) for x in times]}")

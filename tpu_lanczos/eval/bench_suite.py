@@ -93,12 +93,16 @@ def save_pack_cache(dg, path, pack_s):
 def build(cfg, cache_dir=".bench_cache"):
     """Generate the config's graph, cached as raw CSR — generation is
     deterministic per config (seed=0 throughout) and the 4M-node
-    power-law graphs cost minutes to regenerate."""
+    power-law graphs cost minutes to regenerate.  The cache key carries
+    every generator parameter, so retuning a config's size under the
+    same name cannot serve the stale graph."""
     import os
 
     from tpu_lanczos.graphs.csr import CSRGraph
 
-    path = os.path.join(cache_dir, f"graph_{cfg['name']}.npz")
+    gen_keys = ("kind", "n", "m", "e", "side", "nx", "ny", "nz", "papers")
+    tag = "_".join(f"{k}{cfg[k]}" for k in gen_keys if k in cfg)
+    path = os.path.join(cache_dir, f"graph_{cfg['name']}_{tag}.npz")
     if os.path.exists(path):
         z = np.load(path)
         return CSRGraph(indptr=z["indptr"], indices=z["indices"],
@@ -139,9 +143,11 @@ def run_one(cfg, k=50, reps=3, cache_dir=".bench_cache"):
 
     from tpu_lanczos.core.pipeline import best_device_pack
     from tpu_lanczos.core.lanczos import lanczos
+    from tpu_lanczos.utils import enable_heap_reuse
 
+    enable_heap_reuse()  # multi-GB pack loads/builds fault pages once
     t0 = time.time()
-    g = build(cfg)
+    g = build(cfg, cache_dir)
     t_build = time.time() - t0
     t0 = time.time()
     # pack cache: packing is deterministic per (config, code version), so
@@ -190,13 +196,14 @@ def run_one(cfg, k=50, reps=3, cache_dir=".bench_cache"):
     # local PCIe), which single-run timing would bill to every run.
     # Each in-flight dispatch holds its own (k, n_pad) q_basis, so the
     # batch shrinks on large graphs to stay inside HBM.
-    q_bytes = k * getattr(dg, "n_pad", g.n) * 4
-    BATCH = max(1, min(3, int(6e9 // max(q_bytes, 1))))
+    q_bytes = k * getattr(dg, "n_pad", g.n) * x.dtype.itemsize
+    BATCH = max(1, min(3, int(5e9 // max(q_bytes, 1))))
     times = []
     for _ in range(reps):
         t0 = time.time()
         sts = [lanczos(dg, x, k) for _ in range(BATCH)]
         np.asarray(sts[-1].alpha)  # device executes in order: syncs all
+        del sts  # free the batch's q_basis buffers before the next one
         times.append((time.time() - t0) / BATCH)
     t = float(np.median(times))
 

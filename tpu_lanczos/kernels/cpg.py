@@ -553,10 +553,15 @@ def _densify_mask(pm: np.ndarray, sub: int, layout: str) -> np.ndarray:
     n_slab = sub // LANE
     if n_slab == 1:
         return pm
-    u2 = n_slab if layout == "slab" else n_slab * n_slab
+    if layout == "slab":
+        # the slab kernel conds every output slab unconditionally (no
+        # m == FULL branch-free dispatch), so densifying only turns
+        # skipped all-ghost gathers into executed ones — keep raw masks
+        return pm
+    u2 = n_slab * n_slab
     if u2 > _MASK_MAX_BITS:
         return np.full_like(pm, -1)
-    n_conds = 0 if layout == "slab" else n_slab  # outer per-j conds
+    n_conds = n_slab  # outer per-j conds on the sparse path
     full = (1 << u2) - 1
     occ = np.zeros_like(pm)
     for i in range(u2):
@@ -608,9 +613,6 @@ def mask_from_l1l2(l1: np.ndarray, l2: np.ndarray, sub: int,
 
 
 def load_cpg(path: str) -> CPGGraph:
-    from tpu_lanczos.utils import enable_heap_reuse
-
-    enable_heap_reuse()
     z = np.load(path)
     sub = int(z["sub"]) if "sub" in z else 128
     layout = str(z["layout"]) if "layout" in z else "classic"
@@ -627,6 +629,10 @@ def load_cpg(path: str) -> CPGGraph:
         key = f"lv{i}_pair_mask"
         if key in z:
             pm = np.asarray(z[key])
+        elif sub == LANE:
+            # single-gather kernel: the mask is never read — skip the
+            # (chunked gather) recovery pass entirely
+            pm = np.zeros_like(lv["s_ids"])
         else:  # packs saved before the masked second gather existed
             pm = mask_from_l1l2(lv["l1"], lv["l2"], sub, layout)
         lv["pair_mask"] = _densify_mask(pm, sub, layout)

@@ -185,3 +185,41 @@ def test_expm_action_summary_cpg_permuted():
                             spmv_impl="interpret")
     order = np.argsort(full.ans)[::-1][:10]
     assert set(s.top_nodes.tolist()) == set(order.tolist())
+
+
+def test_fa_action_general_spectral_functions():
+    """f(A)x for arbitrary f via the same Lanczos pipeline, checked
+    against the dense eigendecomposition: heat kernel exp(-t*lambda),
+    wave kernel cos, and the Katz-style resolvent 1/(sigma - lambda)."""
+    import numpy as np
+    import scipy.linalg
+
+    from tpu_lanczos import fa_action
+    from tpu_lanczos.graphs import generators
+
+    g = generators.uniform_random(600, 2400, seed=11)
+    A = g.to_scipy().toarray()
+    evals, evecs = scipy.linalg.eigh(A)
+    x = np.ones(g.n)
+    coeff = evecs.T @ x
+    sigma = evals[-1] + 1.0
+    for f in (lambda ev: np.exp(-0.5 * ev),
+              np.cos,
+              lambda ev: 1.0 / (sigma - ev)):
+        want = evecs @ (f(evals) * coeff)
+        res = fa_action(g, f, k=80, dtype="float64")
+        err = np.linalg.norm(res.ans - want) / np.linalg.norm(want)
+        assert err < 1e-8, (f, err)
+
+
+def test_fa_action_matches_expm_action():
+    """fa_action with f=exp must agree with the dedicated exp path."""
+    import numpy as np
+
+    from tpu_lanczos import expm_action, fa_action
+    from tpu_lanczos.graphs import generators
+
+    g = generators.barabasi_albert(1500, 6, seed=5, use_native=False)
+    a = fa_action(g, np.exp, k=40, dtype="float64").ans
+    b = expm_action(g, k=40, dtype="float64").ans
+    np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-10)

@@ -24,6 +24,7 @@ from tpu_lanczos.graphs import io as graph_io
 from tpu_lanczos.graphs import generators
 from tpu_lanczos.core.pipeline import (
     expm_action,
+    fa_action,
     expm_action_summary,
     run_config,
     best_device_pack,
@@ -32,13 +33,14 @@ from tpu_lanczos.core.pipeline import (
 )
 from tpu_lanczos.config import Config
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "CSRGraph",
     "graph_io",
     "generators",
     "expm_action",
+    "fa_action",
     "expm_action_summary",
     "SummaryResult",
     "run_config",

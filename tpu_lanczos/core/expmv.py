@@ -54,6 +54,28 @@ def _gemv(tmp: jnp.ndarray, q_basis: jnp.ndarray) -> jnp.ndarray:
     return tmp @ q_basis
 
 
+def fa_multiply_out_host_eig(state: LanczosState, f):
+    """General spectral-function multiply-out:
+    ans = ||x|| * Q^T V f(Lambda) V^T e1.
+
+    The Lanczos/eigendecomposition pipeline is function-agnostic — the
+    reference hard-wires exp (multiplyOut.cu:25-49), but the same k x k
+    host stage evaluates ANY f on the Ritz values in float64: heat
+    kernels f=exp(-t*lambda), Katz/resolvent f=1/(sigma-lambda)
+    (sigma > lambda_max), wave kernels f=cos, etc.  No overflow
+    shift is applied; callers needing exp at scale should use the
+    dedicated log-scale exp path."""
+    evals, evecs = tridiag.eigh_host(
+        np.asarray(state.alpha), np.asarray(state.beta)
+    )
+    w = np.asarray(f(evals), dtype=np.float64) * (
+        float(state.x_norm) * evecs[0, :]
+    )
+    tmp = evecs @ w
+    dtype = state.q_basis.dtype
+    return _gemv(jnp.asarray(tmp.astype(dtype)), state.q_basis)
+
+
 def multiply_out_host_eig(state: LanczosState, log_scale: bool = False):
     """Accurate split path: host LAPACK eigensolve of T (float64, the
     reference's architecture — eigen on CPU even for the CUDA pipelines),

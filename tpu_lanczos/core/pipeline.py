@@ -227,6 +227,61 @@ def pad_vector(x_host: np.ndarray, n_pad: int, dtype) -> jnp.ndarray:
     return jnp.asarray(x_pad)
 
 
+def fa_action(
+    graph: CSRGraph,
+    f,
+    x: np.ndarray | None = None,
+    k: int = 50,
+    *,
+    dtype: str | jnp.dtype = "float32",
+    fmt: str = "auto",
+    reorthogonalize: bool = False,
+    spmv_impl: str = "auto",
+    dg: DeviceGraph | None = None,
+    ell_pct: float = 98.0,
+) -> LanczosResult:
+    """General spectral-function action f(A)·x via the same Lanczos
+    pipeline: ans = ||x|| · Qᵀ V f(Λ) Vᵀ e1.
+
+    ``f`` is any numpy-vectorized callable evaluated on the Ritz values
+    in float64 on the host (the k×k stage is tiny).  The reference
+    hard-wires exp; the decomposition itself is function-agnostic, so
+    heat kernels (``lambda ev: np.exp(-t*ev)``), Katz/resolvent
+    centrality (``lambda ev: 1/(sigma-ev)`` with sigma > lambda_max),
+    wave kernels (``np.cos``) etc. all ride the identical SpMV/Lanczos
+    machinery.  ``expm_action`` remains the exp path (with its overflow
+    log-scale guard, which is exp-specific)."""
+    k = int(max(min(k, graph.n - 1), 1))
+    if dg is None:
+        if fmt == "cpg":
+            from tpu_lanczos.kernels.cpg import pack_cpg
+
+            dg = pack_cpg(graph)
+        elif fmt == "best":
+            dg = best_device_pack(graph)
+        elif fmt == "cst":
+            from tpu_lanczos.kernels.cst import pack_cst
+
+            dg = pack_cst(graph)
+        else:
+            dg = pack(graph, fmt=fmt, ell_pct=ell_pct)
+    dtype = jnp.dtype(dtype)
+    x_host = np.ones(graph.n) if x is None else np.asarray(x)
+    x_dev = jnp.asarray(dg.permute_in(x_host, dtype))
+    state = lanczos(
+        dg, x_dev, k, reorthogonalize=reorthogonalize, spmv_impl=spmv_impl
+    )
+    ans = expmv.fa_multiply_out_host_eig(state, f)
+    return LanczosResult(
+        ans=dg.permute_out(np.asarray(ans)),
+        log_scale=None,
+        alpha=np.asarray(state.alpha),
+        beta=np.asarray(state.beta),
+        x_norm=float(state.x_norm),
+        k=k,
+    )
+
+
 def expm_action(
     graph: CSRGraph,
     x: np.ndarray | None = None,

@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shards", type=int, default=0,
                    help="row-shard over this many devices (0 = single device)")
     p.add_argument("--reorthogonalize", action="store_true")
+    p.add_argument("--func", default="exp", metavar="F",
+                   help="spectral function applied to A: exp (default), "
+                        "heat:<t> (e^{-t*lambda}), resolvent:<sigma> "
+                        "(1/(sigma-lambda), Katz-style; sigma > lambda_max),"
+                        " or cos.  Non-exp functions run the single-chip "
+                        "host-eig pipeline (fa_action)")
     p.add_argument("--log-scale", action="store_true",
                    help="return e^(A - lambda_max I).x plus the shift "
                         "(avoids f32 overflow)")
@@ -94,6 +100,22 @@ def load_graph(args):
     return g, src
 
 
+def _parse_func(spec: str):
+    """--func spec -> (callable on eigenvalues, label), or None for exp."""
+    if spec == "exp":
+        return None
+    if spec == "cos":
+        return np.cos, "cos(A)"
+    if spec.startswith("heat:"):
+        t = float(spec.split(":", 1)[1])
+        return (lambda ev, t=t: np.exp(-t * ev)), f"exp(-{t}A)"
+    if spec.startswith("resolvent:"):
+        sigma = float(spec.split(":", 1)[1])
+        return (lambda ev, s=sigma: 1.0 / (s - ev)), f"(({sigma})I - A)^-1"
+    raise SystemExit(f"unknown --func {spec!r} (exp | cos | heat:<t> | "
+                     f"resolvent:<sigma>)")
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.platform:
@@ -112,6 +134,45 @@ def main(argv=None) -> int:
     print(f"  n = {g.n}, undirected edges = {g.edge_count} (nnz = {g.nnz}), "
           f"max degree = {g.max_degree}  [{t_load:.3f}s]")
     print(f"krylov dim: {k}")
+
+    # ---------------- general spectral function (--func != exp)
+    fa = _parse_func(args.func)
+    if fa is not None:
+        f, label = fa
+        if (args.shards or args.topk or args.low_mem
+                or args.dtype == "df64" or args.log_scale):
+            print("error: --func runs the single-chip host-eig pipeline "
+                  "(no --shards/--topk/--low-mem/df64/--log-scale)",
+                  file=sys.stderr)
+            return 2
+        ans_serial_f = None
+        if not args.no_serial:
+            from tpu_lanczos.eval import oracle
+
+            t0 = time.time()
+            ans_serial_f = oracle.fa_action(g, np.ones(g.n), k, f)
+            print(f"serial (numpy f64) {label}·1 pipeline: "
+                  f"{time.time() - t0:.4f}s")
+        from tpu_lanczos.core.pipeline import fa_action
+
+        t0 = time.time()
+        res = fa_action(g, f, k=k, dtype=args.dtype, fmt=args.fmt,
+                        reorthogonalize=args.reorthogonalize)
+        print(f"device {label}·1 pipeline ({args.dtype}): "
+              f"{time.time() - t0:.4f}s (includes compile on first run)")
+        if ans_serial_f is not None:
+            from tpu_lanczos.eval.check import check_ans
+
+            print(f"device vs serial: {check_ans(res.ans, ans_serial_f)}")
+        if args.verbose:
+            top = np.argsort(res.ans)[-10:][::-1]
+            print("top-10 nodes:", ", ".join(map(str, top)))
+        if args.write_ans:
+            from tpu_lanczos.eval.check import write_ans
+
+            write_ans(res.ans, args.write_ans)
+            print(f"answer written to {args.write_ans}")
+        return 0
 
     # ---------------- serial oracle pass (reference: serial pipeline first,
     # parallel-final/main.cu:69-106)

@@ -95,6 +95,16 @@ def expm_action(
     return multiply_out(dec)
 
 
+def fa_action(graph: CSRGraph, x: np.ndarray, k: int, f) -> np.ndarray:
+    """Oracle for the general spectral-function action f(A)x:
+    ans = ||x|| * Q @ V @ (f(Lambda) * V^T e1)."""
+    k = max(min(k, graph.n - 1), 1)
+    dec = lanczos(graph, x, k)
+    evals, evecs = tridiag_eigh(dec.alpha, dec.beta)
+    w = np.asarray(f(evals), dtype=np.float64) * dec.x_norm * evecs[0, :]
+    return dec.q_basis @ (evecs @ w)
+
+
 def expm_action_dense(graph: CSRGraph, x: np.ndarray) -> np.ndarray:
     """Ground truth by dense eigendecomposition of A itself (only for small
     graphs) — the analog of the reference's analytic test construction

@@ -841,22 +841,36 @@ extern "C" void gc_cpgl_fill(void *hh, int8_t *l1, void *l2,
     const bool wide = sub > 256;  // int16 elements past the uint8 range
     auto *l2b = static_cast<uint8_t *>(l2);
     auto *l2w = static_cast<int16_t *>(l2);
-    for (int64_t col = 0; col < T * LANE; ++col) {
-      int64_t ff = sub - 1;  // fully-staged columns have no ghost cells
-      for (int64_t w = 0; w < words; ++w) {
-        const uint64_t f = ~bits[static_cast<size_t>(col * words + w)];
-        if (f) {
-          const int64_t c = w * 64 + __builtin_ctzll(f);
-          if (c < sub) { ff = c; break; }
-        }
-      }
-      if (wide) {
-        std::fill(l2w + col * sub, l2w + (col + 1) * sub,
-                  static_cast<int16_t>(ff));
-      } else {
-        std::memset(l2b + col * sub, static_cast<int>(ff),
-                    static_cast<size_t>(sub));
-      }
+    // per-column mex + fill is embarrassingly parallel (disjoint column
+    // ranges) and writes T*LANE*sub elements — the widest stream of the
+    // whole fill phase
+    {
+      const int P = static_cast<int>(std::max(
+          1u, std::min(4u, std::thread::hardware_concurrency())));
+      const int64_t n_cols = T * LANE;
+      std::vector<std::thread> ts;
+      for (int t = 0; t < P; ++t)
+        ts.emplace_back([&, t] {
+          const int64_t lo = n_cols * t / P, hi = n_cols * (t + 1) / P;
+          for (int64_t col = lo; col < hi; ++col) {
+            int64_t ff = sub - 1;  // fully-staged: no ghost cells
+            for (int64_t w = 0; w < words; ++w) {
+              const uint64_t f = ~bits[static_cast<size_t>(col * words + w)];
+              if (f) {
+                const int64_t c = w * 64 + __builtin_ctzll(f);
+                if (c < sub) { ff = c; break; }
+              }
+            }
+            if (wide) {
+              std::fill(l2w + col * sub, l2w + (col + 1) * sub,
+                        static_cast<int16_t>(ff));
+            } else {
+              std::memset(l2b + col * sub, static_cast<int>(ff),
+                          static_cast<size_t>(sub));
+            }
+          }
+        });
+      for (auto &th : ts) th.join();
     }
     for (int64_t e = 0; e < E; ++e) {
       const int64_t col = static_cast<int64_t>(tile_of[e]) * LANE + ld[e];

@@ -223,3 +223,39 @@ def test_fa_action_matches_expm_action():
     a = fa_action(g, np.exp, k=40, dtype="float64").ans
     b = expm_action(g, k=40, dtype="float64").ans
     np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-10)
+
+
+def test_expm_action_ks_single_decomposition():
+    """All-k answers from one Lanczos pass match per-k expm_action runs,
+    and the Table-5 self-consistency diffs decrease toward k_max."""
+    import numpy as np
+
+    from tpu_lanczos import expm_action, expm_action_ks
+    from tpu_lanczos.graphs import generators
+
+    g = generators.uniform_random(1200, 4800, seed=9)
+    ks = [5, 10, 20, 40]
+    results, diffs = expm_action_ks(g, ks, dtype="float64")
+    for k in ks:
+        single = expm_action(g, k=k, dtype="float64")
+        np.testing.assert_allclose(results[k].ans, single.ans,
+                                   rtol=1e-9, atol=1e-9)
+    assert diffs[40] == 0.0
+    assert diffs[5] > diffs[20] >= 0.0
+
+
+def test_expm_action_ks_log_scale_overflow_regime():
+    """log_scale=True keeps per-k answers finite and the convergence
+    diffs meaningful even where exp(shift) would overflow f32."""
+    import numpy as np
+
+    from tpu_lanczos import expm_action_ks
+    from tpu_lanczos.graphs import generators
+
+    g = generators.barabasi_albert(3000, 12, seed=3, use_native=False)
+    results, diffs = expm_action_ks(g, [10, 30], dtype="float32",
+                                    log_scale=True)
+    for k in (10, 30):
+        assert np.all(np.isfinite(results[k].ans))
+        assert results[k].log_scale is not None
+    assert diffs[30] == 0.0 and np.isfinite(diffs[10])

@@ -24,6 +24,7 @@ from tpu_lanczos.graphs import io as graph_io
 from tpu_lanczos.graphs import generators
 from tpu_lanczos.core.pipeline import (
     expm_action,
+    expm_action_ks,
     fa_action,
     expm_action_summary,
     run_config,
@@ -40,6 +41,7 @@ __all__ = [
     "graph_io",
     "generators",
     "expm_action",
+    "expm_action_ks",
     "fa_action",
     "expm_action_summary",
     "SummaryResult",

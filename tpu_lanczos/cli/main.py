@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shards", type=int, default=0,
                    help="row-shard over this many devices (0 = single device)")
     p.add_argument("--reorthogonalize", action="store_true")
+    p.add_argument("--ks", default=None, metavar="K1,K2,...",
+                   help="convergence study: answers for every listed "
+                        "Krylov dim from ONE decomposition, with "
+                        "||ans_k - ans_kmax||/||ans_kmax|| diffs (the "
+                        "reference re-ran its whole pipeline per k, "
+                        "final.sh / writeup Table 5)")
     p.add_argument("--func", default="exp", metavar="F",
                    help="spectral function applied to A: exp (default), "
                         "heat:<t> (e^{-t*lambda}), resolvent:<sigma> "
@@ -134,6 +140,29 @@ def main(argv=None) -> int:
     print(f"  n = {g.n}, undirected edges = {g.edge_count} (nnz = {g.nnz}), "
           f"max degree = {g.max_degree}  [{t_load:.3f}s]")
     print(f"krylov dim: {k}")
+
+    # ---------------- all-k convergence study (--ks)
+    if args.ks:
+        from tpu_lanczos.core.pipeline import expm_action_ks
+
+        ks = [int(s) for s in args.ks.split(",")]
+        t0 = time.time()
+        results, diffs = expm_action_ks(
+            g, ks, dtype=args.dtype, fmt=args.fmt,
+            log_scale=args.log_scale,
+        )
+        print(f"one k_max={max(results)} decomposition: "
+              f"{time.time() - t0:.4f}s (includes compile on first run)")
+        print(f"{'k':>6} {'rel diff vs k_max':>18}")
+        for k in sorted(results):
+            print(f"{k:>6} {diffs[k]:>18.3e}")
+        if args.write_ans:
+            from tpu_lanczos.eval.check import write_ans
+
+            for k in sorted(results):
+                write_ans(results[k].ans, f"{args.write_ans}.k{k}")
+            print(f"answers written to {args.write_ans}.k<K>")
+        return 0
 
     # ---------------- general spectral function (--func != exp)
     fa = _parse_func(args.func)

@@ -29,6 +29,11 @@ def upgrade(path: str) -> None:
         return
     sub = int(z["sub"]) if "sub" in z else 128
     layout = str(z["layout"]) if "layout" in z else "classic"
+    if sub == 128:
+        # single-gather kernel: load_cpg never reads the mask (and skips
+        # its own recovery) — nothing worth embedding
+        print(f"  {path}: sub=128 (mask unused), skipped")
+        return
     t0 = time.time()
     for i in range(n_levels):
         key = f"lv{i}_pair_mask"

@@ -122,6 +122,27 @@ def _parse_func(spec: str):
                      f"resolvent:<sigma>)")
 
 
+def _custom_cpg_dg(args, g):
+    """Build the CPG pack from the --cpg-* tuning flags, or None when
+    every knob is at its default (let the pipeline pick)."""
+    if args.fmt != "cpg" or not (
+        args.cpg_theta is not None or args.cpg_sub is not None
+        or args.cpg_order != "auto" or args.cpg_theta_s != "auto"
+        or args.cpg_redeal != "auto" or args.cpg_layout != "auto"
+    ):
+        return None
+    from tpu_lanczos.kernels.cpg import pack_cpg
+
+    theta_s = ("auto" if args.cpg_theta_s == "auto"
+               else None if args.cpg_theta_s == "off"
+               else int(args.cpg_theta_s))
+    redeal = (None if args.cpg_redeal == "auto"
+              else args.cpg_redeal == "on")
+    return pack_cpg(g, theta=args.cpg_theta, sub=args.cpg_sub,
+                    order=args.cpg_order, theta_s=theta_s,
+                    redeal=redeal, layout=args.cpg_layout)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.platform:
@@ -145,11 +166,18 @@ def main(argv=None) -> int:
     if args.ks:
         from tpu_lanczos.core.pipeline import expm_action_ks
 
+        if (args.shards or args.topk or args.low_mem
+                or args.dtype == "df64" or args.func != "exp"
+                or args.reorthogonalize):
+            print("error: --ks runs the single-chip exp pipeline (no "
+                  "--shards/--topk/--low-mem/df64/--func/"
+                  "--reorthogonalize)", file=sys.stderr)
+            return 2
         ks = [int(s) for s in args.ks.split(",")]
         t0 = time.time()
         results, diffs = expm_action_ks(
             g, ks, dtype=args.dtype, fmt=args.fmt,
-            log_scale=args.log_scale,
+            log_scale=args.log_scale, dg=_custom_cpg_dg(args, g),
         )
         print(f"one k_max={max(results)} decomposition: "
               f"{time.time() - t0:.4f}s (includes compile on first run)")
@@ -186,7 +214,8 @@ def main(argv=None) -> int:
 
         t0 = time.time()
         res = fa_action(g, f, k=k, dtype=args.dtype, fmt=args.fmt,
-                        reorthogonalize=args.reorthogonalize)
+                        reorthogonalize=args.reorthogonalize,
+                        dg=_custom_cpg_dg(args, g))
         print(f"device {label}·1 pipeline ({args.dtype}): "
               f"{time.time() - t0:.4f}s (includes compile on first run)")
         if ans_serial_f is not None:
@@ -247,22 +276,7 @@ def main(argv=None) -> int:
     else:
         from tpu_lanczos.core.pipeline import expm_action
 
-        dg = None
-        if args.fmt == "cpg" and (
-            args.cpg_theta is not None or args.cpg_sub is not None
-            or args.cpg_order != "auto" or args.cpg_theta_s != "auto"
-            or args.cpg_redeal != "auto" or args.cpg_layout != "auto"
-        ):
-            from tpu_lanczos.kernels.cpg import pack_cpg
-
-            theta_s = ("auto" if args.cpg_theta_s == "auto"
-                       else None if args.cpg_theta_s == "off"
-                       else int(args.cpg_theta_s))
-            redeal = (None if args.cpg_redeal == "auto"
-                      else args.cpg_redeal == "on")
-            dg = pack_cpg(g, theta=args.cpg_theta, sub=args.cpg_sub,
-                          order=args.cpg_order, theta_s=theta_s,
-                          redeal=redeal, layout=args.cpg_layout)
+        dg = _custom_cpg_dg(args, g)
         if args.topk:
             from tpu_lanczos.core.pipeline import expm_action_summary
 

@@ -227,6 +227,21 @@ def pad_vector(x_host: np.ndarray, n_pad: int, dtype) -> jnp.ndarray:
     return jnp.asarray(x_pad)
 
 
+def _resolve_dg(graph: CSRGraph, fmt: str, ell_pct: float) -> DeviceGraph:
+    """Shared format dispatch for every pipeline entry point."""
+    if fmt == "cst":
+        from tpu_lanczos.kernels.cst import pack_cst
+
+        return pack_cst(graph)
+    if fmt == "cpg":
+        from tpu_lanczos.kernels.cpg import pack_cpg
+
+        return pack_cpg(graph)
+    if fmt == "best":
+        return best_device_pack(graph)
+    return pack(graph, fmt=fmt, ell_pct=ell_pct)
+
+
 def expm_action_ks(
     graph: CSRGraph,
     ks,
@@ -251,18 +266,11 @@ def expm_action_ks(
     ``diffs[k] = ||ans_k - ans_kmax|| / ||ans_kmax||`` (the Table-5
     self-consistency metric), computed on matching log-scale shifts.
     """
-    ks = sorted(set(int(k) for k in ks))
-    k_max = int(max(min(ks[-1], graph.n - 1), 1))
-    ks = [min(k, k_max) for k in ks]
+    # clamp every k like expm_action does (k in [1, n-1]), dedup after
+    ks = sorted({max(min(int(k), graph.n - 1), 1) for k in ks})
+    k_max = ks[-1]
     if dg is None:
-        if fmt == "cpg":
-            from tpu_lanczos.kernels.cpg import pack_cpg
-
-            dg = pack_cpg(graph)
-        elif fmt == "best":
-            dg = best_device_pack(graph)
-        else:
-            dg = pack(graph, fmt=fmt, ell_pct=ell_pct)
+        dg = _resolve_dg(graph, fmt, ell_pct)
     dtype = jnp.dtype(dtype)
     x_host = np.ones(graph.n) if x is None else np.asarray(x)
     x_dev = jnp.asarray(dg.permute_in(x_host, dtype))
@@ -334,18 +342,7 @@ def fa_action(
     log-scale guard, which is exp-specific)."""
     k = int(max(min(k, graph.n - 1), 1))
     if dg is None:
-        if fmt == "cpg":
-            from tpu_lanczos.kernels.cpg import pack_cpg
-
-            dg = pack_cpg(graph)
-        elif fmt == "best":
-            dg = best_device_pack(graph)
-        elif fmt == "cst":
-            from tpu_lanczos.kernels.cst import pack_cst
-
-            dg = pack_cst(graph)
-        else:
-            dg = pack(graph, fmt=fmt, ell_pct=ell_pct)
+        dg = _resolve_dg(graph, fmt, ell_pct)
     dtype = jnp.dtype(dtype)
     x_host = np.ones(graph.n) if x is None else np.asarray(x)
     x_dev = jnp.asarray(dg.permute_in(x_host, dtype))
@@ -391,18 +388,7 @@ def expm_action(
     if low_mem and reorthogonalize:
         raise ValueError("low_mem is incompatible with reorthogonalize")
     if dg is None:
-        if fmt == "cst":
-            from tpu_lanczos.kernels.cst import pack_cst
-
-            dg = pack_cst(graph)
-        elif fmt == "cpg":
-            from tpu_lanczos.kernels.cpg import pack_cpg
-
-            dg = pack_cpg(graph)
-        elif fmt == "best":
-            dg = best_device_pack(graph)
-        else:
-            dg = pack(graph, fmt=fmt, ell_pct=ell_pct)
+        dg = _resolve_dg(graph, fmt, ell_pct)
     dtype = jnp.dtype(dtype)
     mask1d = getattr(dg, "realmask", None)
     if mask1d is not None and (mask1d.ndim != 1

@@ -104,13 +104,20 @@ def build(cfg, cache_dir=".bench_cache"):
     tag = "_".join(f"{k}{cfg[k]}" for k in gen_keys if k in cfg)
     path = os.path.join(cache_dir, f"graph_{cfg['name']}_{tag}.npz")
     if os.path.exists(path):
-        z = np.load(path)
-        return CSRGraph(indptr=z["indptr"], indices=z["indices"],
-                        n=int(z["n"]))
+        try:
+            z = np.load(path)
+            return CSRGraph(indptr=z["indptr"], indices=z["indices"],
+                            n=int(z["n"]))
+        except Exception:
+            pass  # truncated/corrupt cache: regenerate and overwrite
     g = _generate(cfg)
     try:
         os.makedirs(cache_dir, exist_ok=True)
-        np.savez(path, indptr=g.indptr, indices=g.indices, n=g.n)
+        # tmp + atomic replace: an interrupted save must not leave a
+        # truncated .npz that poisons every later run
+        np.savez(path + ".tmp.npz", indptr=g.indptr, indices=g.indices,
+                 n=g.n)
+        os.replace(path + ".tmp.npz", path)
     except Exception:
         pass
     return g

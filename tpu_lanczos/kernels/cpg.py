@@ -753,9 +753,13 @@ def pack_cpg(
     the entry dealing from global round-robin to block-aware
     (_group_deal); "auto" (None) follows the same dichotomy.
     """
-    from tpu_lanczos.utils import enable_heap_reuse
+    if graph.nnz >= 5_000_000:
+        # big packs churn multi-GB temporaries; keep their pages for
+        # reuse (opt-out via TPU_LANCZOS_NO_HEAP_REUSE — the knob is
+        # process-global and pins RSS at the high-water mark)
+        from tpu_lanczos.utils import enable_heap_reuse
 
-    enable_heap_reuse()  # pack temporaries fault once, not per pass
+        enable_heap_reuse()
     n = graph.n
     del seed  # orderings are deterministic; kept for API stability
     if sub is None:

@@ -55,6 +55,8 @@ def enable_heap_reuse() -> bool:
     global _HEAP_REUSE_DONE
     if _HEAP_REUSE_DONE:
         return True
+    if os.environ.get("TPU_LANCZOS_NO_HEAP_REUSE"):
+        return False
     try:
         import ctypes
 

@@ -19,6 +19,16 @@ sliced dynamically per tile.
 Chunk height ``sub`` may exceed 128 (denser blocks -> fewer tiles); the
 second gather's reach is still one 128-lane vreg, so it runs as
 (sub/128)^2 slab-gathers combined with range selects.
+
+Round 3: the second gather is occupancy-masked.  Each tile carries a
+pair_mask (kernels/cpg.py) whose unset (dest-slab, staging-slab) bits
+mark units holding only ghost cells (structural zeros); the kernel
+dispatches once per tile on mask == FULL — the dense path is the exact
+branch-free original (a taken in-kernel lax.cond costs ~52 cyc, so
+per-unit branching LOSES on mostly-occupied tiles), the sparse path
+conds per unit where skipping nets out (deep tiers, reduce levels).
+Levels with no sparse tile compile without the dispatch at all
+(CPGGraph.mask_sparse, static).
 """
 
 from __future__ import annotations

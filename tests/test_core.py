@@ -212,6 +212,40 @@ def test_fa_action_general_spectral_functions():
         assert err < 1e-8, (f, err)
 
 
+def test_fa_action_overflow_shift_and_pole():
+    """|f| past the working dtype triggers the scale shift (log_scale is
+    set, true answer recovered in f64); a pole inside the spectrum
+    raises instead of returning garbage — the general-f analog of the
+    exp path's log-scale overflow guard (single_double.txt:27-31)."""
+    import numpy as np
+    import pytest
+    import scipy.linalg
+
+    from tpu_lanczos import fa_action
+    from tpu_lanczos.graphs import generators
+
+    g = generators.uniform_random(600, 2400, seed=11)
+    A = g.to_scipy().toarray()
+    evals, evecs = scipy.linalg.eigh(A)
+    coeff = evecs.T @ np.ones(g.n)
+    # lambda_max ~ 9 here; e^{20 lambda_max} ~ 1e79 overflows f32 but
+    # stays finite in f64, so the oracle comparison is exact
+    f = lambda ev: np.exp(20.0 * ev)  # noqa: E731
+    want = evecs @ (f(evals) * coeff)
+    res = fa_action(g, f, k=80, dtype="float32")
+    assert res.log_scale is not None
+    assert np.all(np.isfinite(res.ans))
+    got = res.ans.astype(np.float64) * np.exp(res.log_scale)
+    err = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert err < 1e-4, err  # f32 pipeline accuracy floor
+
+    with pytest.raises(FloatingPointError):
+        # resolvent pole exactly at a Ritz value -> non-finite f
+        with np.errstate(divide="ignore"):
+            fa_action(g, lambda ev: 1.0 / (ev - ev[0]), k=80,
+                      dtype="float64")
+
+
 def test_fa_action_matches_expm_action():
     """fa_action with f=exp must agree with the dedicated exp path."""
     import numpy as np

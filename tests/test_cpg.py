@@ -295,6 +295,27 @@ def test_mask_from_l1l2_slab_layout():
     np.testing.assert_array_equal(got, lv.pair_mask)
 
 
+def test_slab_mask_capacity_sentinel():
+    """Slab-layout mask construction past int32 bit capacity (n_slab >
+    30, i.e. sub >= 3968) must emit the all-dense -1 sentinel instead of
+    overflowing the shift (signed-shift UB in the native twin)."""
+    from tpu_lanczos.kernels import cpg
+
+    rng = np.random.default_rng(7)
+    sub = 4096  # n_slab = 32: bit index reaches 31
+    span = sub * 128
+    src = rng.integers(0, span, 5_000)
+    dst = rng.integers(0, span, 5_000)
+    lv = cpg._build_cpg_level_slab_np(src, dst, sub)
+    np.testing.assert_array_equal(lv.pair_mask,
+                                  np.full(lv.pair_mask.shape, -1))
+    assert not cpg._mask_is_sparse(lv.pair_mask, sub, "slab")
+    # dispatcher (native builder when available) must agree
+    lv2 = cpg._build_cpg_level_slab(src, dst, sub)
+    np.testing.assert_array_equal(lv2.pair_mask,
+                                  np.full(lv2.pair_mask.shape, -1))
+
+
 def test_mask_sparse_flag_consistent():
     """The static per-level mask_sparse flag must agree with the level's
     actual (real-tile) masks: True iff any real tile kept a non-FULL

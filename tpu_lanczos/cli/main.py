@@ -149,9 +149,10 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
-    from tpu_lanczos.utils import enable_compile_cache
+    from tpu_lanczos.utils import enable_compile_cache, enable_heap_reuse
 
     enable_compile_cache()
+    enable_heap_reuse()  # CLI opt-in: big packs fault their pages once
 
     t0 = time.time()
     g, src = load_graph(args)
@@ -218,10 +219,21 @@ def main(argv=None) -> int:
                         dg=_custom_cpg_dg(args, g))
         print(f"device {label}·1 pipeline ({args.dtype}): "
               f"{time.time() - t0:.4f}s (includes compile on first run)")
+        if res.log_scale is not None:
+            print(f"  scale shift: {res.log_scale:.6f} "
+                  f"(true ans = ans * e^shift; |f| exceeded the dtype)")
         if ans_serial_f is not None:
             from tpu_lanczos.eval.check import check_ans
 
-            print(f"device vs serial: {check_ans(res.ans, ans_serial_f)}")
+            a = (res.ans if res.log_scale is None
+                 else res.ans.astype(np.float64) * np.exp(res.log_scale))
+            if np.all(np.isfinite(a)):
+                print(f"device vs serial: {check_ans(a, ans_serial_f)}")
+            else:
+                an = res.ans / np.linalg.norm(res.ans)
+                bs = ans_serial_f / np.linalg.norm(ans_serial_f)
+                print(f"device vs serial (normalized; |f| overflow): "
+                      f"rel diff {np.linalg.norm(an - bs):.3e}")
         if args.verbose:
             top = np.argsort(res.ans)[-10:][::-1]
             print("top-10 nodes:", ", ".join(map(str, top)))
@@ -258,6 +270,17 @@ def main(argv=None) -> int:
             print("error: --topk/--low-mem are single-chip modes",
                   file=sys.stderr)
             return 2
+        if args.fmt == "cst":
+            # the CST layout is single-chip only; silently running the
+            # hybrid XLA format here would misattribute its numbers
+            print("error: --fmt cst is single-chip only (the sharded "
+                  "path supports best/cpg/auto/ell/hyb; coo runs hyb)",
+                  file=sys.stderr)
+            return 2
+        if args.fmt == "coo":
+            print("note: sharded --fmt coo runs the hybrid ELL+COO "
+                  "format (pure COO has no sharded packer)",
+                  file=sys.stderr)
         pack_kw = None
         if args.fmt in ("cpg", "best"):
             pack_kw = {}

@@ -62,18 +62,41 @@ def fa_multiply_out_host_eig(state: LanczosState, f):
     reference hard-wires exp (multiplyOut.cu:25-49), but the same k x k
     host stage evaluates ANY f on the Ritz values in float64: heat
     kernels f=exp(-t*lambda), Katz/resolvent f=1/(sigma-lambda)
-    (sigma > lambda_max), wave kernels f=cos, etc.  No overflow
-    shift is applied; callers needing exp at scale should use the
-    dedicated log-scale exp path."""
+    (sigma > lambda_max), wave kernels f=cos, etc.
+
+    Returns ``(ans_scaled, log_scale)``: when the f64 coefficient vector
+    would overflow or underflow the working dtype (heat kernels at large
+    |t| on graphs with negative eigenvalues, resolvents near the
+    spectrum — the same hazard the reference's f32 exp path hit,
+    single_double.txt:27-31), the GEMV runs on tmp * e^-s with
+    s = log(max|tmp|) and ``log_scale=s`` is returned; otherwise
+    ``log_scale`` is None.  True ans = ans_scaled * e^log_scale.
+    Raises FloatingPointError when f is non-finite on a Ritz value
+    (e.g. a resolvent pole inside the spectrum)."""
     evals, evecs = tridiag.eigh_host(
         np.asarray(state.alpha), np.asarray(state.beta)
     )
-    w = np.asarray(f(evals), dtype=np.float64) * (
-        float(state.x_norm) * evecs[0, :]
-    )
+    fe = np.asarray(f(evals), dtype=np.float64)
+    if not np.all(np.isfinite(fe)):
+        raise FloatingPointError(
+            "f(eigenvalue) is non-finite on a Ritz value (resolvent "
+            "pole inside the spectrum, or f overflows float64 — for "
+            "exp-family f at scale use expm_action's log_scale path); "
+            "cannot form f(A).x"
+        )
+    w = fe * (float(state.x_norm) * evecs[0, :])
     tmp = evecs @ w
     dtype = state.q_basis.dtype
-    return _gemv(jnp.asarray(tmp.astype(dtype)), state.q_basis)
+    fin = np.finfo(np.float32 if dtype == jnp.bfloat16 else dtype)
+    peak = float(np.max(np.abs(tmp)))
+    shift = None
+    # 1e6 headroom: the GEMV accumulates up to k terms and the answer's
+    # norm can exceed the coefficient peak by ||Q|| factors
+    if peak > 0 and (peak > float(fin.max) / 1e6
+                     or peak < float(fin.tiny) * 1e6):
+        shift = float(np.log(peak))
+        tmp = tmp * np.exp(-shift)
+    return _gemv(jnp.asarray(tmp.astype(dtype)), state.q_basis), shift
 
 
 def multiply_out_host_eig(state: LanczosState, log_scale: bool = False):

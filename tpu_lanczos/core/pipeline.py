@@ -183,6 +183,12 @@ def run_config(cfg, graph: CSRGraph | None = None, x: np.ndarray | None = None):
 
         from tpu_lanczos.dist import make_mesh, expm_action_sharded
 
+        if cfg.fmt == "cst":
+            import warnings
+
+            warnings.warn("fmt='cst' is single-chip only; the sharded "
+                          "path runs the hybrid XLA format instead",
+                          stacklevel=2)
         fmt = "auto" if cfg.fmt == "cst" else cfg.fmt
         pack_kw = None
         if fmt in ("cpg", "best"):
@@ -349,10 +355,10 @@ def fa_action(
     state = lanczos(
         dg, x_dev, k, reorthogonalize=reorthogonalize, spmv_impl=spmv_impl
     )
-    ans = expmv.fa_multiply_out_host_eig(state, f)
+    ans, shift = expmv.fa_multiply_out_host_eig(state, f)
     return LanczosResult(
         ans=dg.permute_out(np.asarray(ans)),
-        log_scale=None,
+        log_scale=shift,  # non-None when |f| forced a scale shift
         alpha=np.asarray(state.alpha),
         beta=np.asarray(state.beta),
         x_norm=float(state.x_norm),

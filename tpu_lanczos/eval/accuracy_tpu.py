@@ -39,6 +39,9 @@ def main(argv=None):
     from tpu_lanczos.eval import oracle
     from tpu_lanczos.core.pipeline import expm_action
     from tpu_lanczos.core.lanczos_df import expm_action_df
+    from tpu_lanczos.utils import enable_heap_reuse
+
+    enable_heap_reuse()
 
     os.makedirs(args.cache, exist_ok=True)
     gpath = os.path.join(

@@ -66,6 +66,55 @@ CONFIGS = [
 
 HBM_GBPS = 819.0  # v5e
 
+# per-row accuracy: the f64 numpy oracle is affordable up to ~2M nodes
+# (bn1M measured 84-108 s host-side, cached per (config, k)); beyond it
+# the df64 hardware pipeline is the truth (9.7e-14..2.7e-13 vs the f64
+# oracle where both exist — bench_results/accuracy_tpu.jsonl)
+ORACLE_N_MAX = 2_000_000
+
+
+def _accuracy(cfg, g, dg, k, cache_dir):
+    """Hardware rel-norm-of-diff for this row — the reference committed
+    one for every graph it benchmarked (final_output1.txt:31,63,95,127,
+    223,255,287).  Returns (rel_err, err_ref, err_s).
+
+    n <= ORACLE_N_MAX: f32 pipeline vs the host f64 oracle (cached).
+    Larger: f32 vs the df64 double-word pipeline on the same chip
+    (self-check; df64 itself is oracle-validated at 1M scale)."""
+    import os
+
+    from tpu_lanczos.core.pipeline import expm_action
+
+    t0 = time.time()
+    r32 = expm_action(g, None, k, dg=dg, low_mem=True, log_scale=True)
+    a32 = r32.ans.astype(np.float64)
+    s32 = float(r32.log_scale)
+    if g.n <= ORACLE_N_MAX:
+        from tpu_lanczos.eval import oracle as _oracle
+
+        opath = os.path.join(cache_dir, f"oracle_{cfg['name']}_k{k}.npy")
+        if os.path.exists(opath):
+            ref = np.load(opath)
+        else:
+            ref = _oracle.expm_action(g, np.ones(g.n), k)
+            np.save(opath + ".tmp.npy", ref)
+            os.replace(opath + ".tmp.npy", opath)
+        ref_norm = float(np.linalg.norm(ref))
+        # compare on the oracle's scale: a32 carries the e^shift factor
+        # separately, so rescale in f64 (e^shift alone stays finite for
+        # every suite graph: lambda_max <= ~150 << 709)
+        a = a32 * np.exp(s32)
+        err = float(np.linalg.norm(a - ref) / ref_norm)
+        return err, "oracle_f64", round(time.time() - t0, 1)
+    from tpu_lanczos.core.lanczos_df import expm_action_df
+
+    rdf = expm_action_df(g, None, k, dg=dg, log_scale=True)
+    adf = rdf.ans
+    sdf = float(rdf.log_scale)
+    a = a32 * np.exp(s32 - sdf)  # common log-scale
+    err = float(np.linalg.norm(a - adf) / np.linalg.norm(adf))
+    return err, "df64_selfcheck", round(time.time() - t0, 1)
+
 
 def pack_cache_path(cfg, cache_dir=".bench_cache"):
     """Canonical pack-cache file for a suite config — the single source
@@ -142,7 +191,7 @@ def _generate(cfg):
     raise ValueError(cfg["kind"])
 
 
-def run_one(cfg, k=50, reps=3, cache_dir=".bench_cache"):
+def run_one(cfg, k=50, reps=3, cache_dir=".bench_cache", accuracy=True):
     import os
 
     import jax
@@ -205,14 +254,32 @@ def run_one(cfg, k=50, reps=3, cache_dir=".bench_cache"):
     # batch shrinks on large graphs to stay inside HBM.
     q_bytes = k * getattr(dg, "n_pad", g.n) * x.dtype.itemsize
     BATCH = max(1, min(3, int(5e9 // max(q_bytes, 1))))
-    times = []
-    for _ in range(reps):
+
+    def sample(batch):
         t0 = time.time()
-        sts = [lanczos(dg, x, k) for _ in range(BATCH)]
+        sts = [lanczos(dg, x, k) for _ in range(batch)]
         np.asarray(sts[-1].alpha)  # device executes in order: syncs all
         del sts  # free the batch's q_basis buffers before the next one
-        times.append((time.time() - t0) / BATCH)
+        return (time.time() - t0) / batch
+
+    times = []
+    for _ in range(reps):
+        try:
+            times.append(sample(BATCH))
+        except Exception as e:  # RESOURCE_EXHAUSTED at the batched sync:
+            # the q_basis-budget heuristic under-counted pack + x HBM
+            # residency — fall back to single-dispatch sampling for this
+            # config rather than aborting the whole suite run
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            BATCH = 1
+            times.append(sample(1))
     t = float(np.median(times))
+    # single-dispatch protocol alongside: one dispatch, one sync — bills
+    # the testbed tunnel's ~25-30 ms host-sync RTT to the run (closest to
+    # the reference's local-PCIe cudaEvent timing; both are recorded so
+    # headline claims can cite either)
+    t_single = float(np.median([sample(1) for _ in range(2)]))
 
     # index-traffic roofline: bytes the SpMV must move per iteration
     fmt = type(dg).__name__
@@ -232,13 +299,23 @@ def run_one(cfg, k=50, reps=3, cache_dir=".bench_cache"):
     roofline_s = k * idx_bytes / (HBM_GBPS * 1e9)
     ref_key = "ref_s" if k == 50 else ("ref_s_k100" if k == 100 else None)
     ref_s = cfg.get(ref_key) if ref_key else None
+    rel_err = err_ref = err_s = None
+    if accuracy and fmt == "CPGGraph":
+        try:
+            rel_err, err_ref, err_s = _accuracy(cfg, g, dg, k, cache_dir)
+        except Exception as e:  # accuracy is additive: never lose the row
+            err_ref = f"failed: {type(e).__name__}"
     out = dict(
         name=cfg["name"], n=g.n, nnz=g.nnz, fmt=fmt, k=k,
         build_s=round(t_build, 1), pack_s=round(t_pack, 1),
         compile_s=round(t_compile, 1), lanczos_s=round(t, 4),
+        lanczos_s_single=round(t_single, 4),
+        protocol=dict(timing="amortized_batch", batch=BATCH, reps=reps),
         gnnz_per_s=round(g.nnz * k / t / 1e9, 2),
         roofline_pct=round(100 * roofline_s / t, 1),
         tiles=tiles, cyc_per_tile=cyc_per_tile,
+        rel_err=float(f"{rel_err:.3e}") if rel_err is not None else None,
+        err_ref=err_ref, err_s=err_s,
         analog=cfg.get("analog"), ref_s=ref_s,
         vs_ref=round(ref_s / t, 2) if ref_s else None,
     )
@@ -253,6 +330,8 @@ def main(argv=None):
     ap.add_argument("--only", help="comma-separated config names")
     ap.add_argument("--k", type=int, default=50,
                     help="krylov dim (the reference recorded 50 and 100)")
+    ap.add_argument("--no-acc", action="store_true",
+                    help="skip the per-row hardware accuracy column")
     args = ap.parse_args(argv)
     from tpu_lanczos.utils import enable_compile_cache
 
@@ -261,13 +340,17 @@ def main(argv=None):
     if args.only:
         names = set(args.only.split(","))
         configs = [c for c in CONFIGS if c["name"] in names]
-    results = [run_one(c, k=args.k) for c in configs]
+    results = [run_one(c, k=args.k, accuracy=not args.no_acc)
+               for c in configs]
     print(f"\n{'name':22} {'n':>10} {'nnz':>11} {'fmt':9} "
-          f"{'lanczos_s':>9} {'Gnnz/s':>7} {'vs_ref':>7}", file=sys.stderr)
+          f"{'lanczos_s':>9} {'Gnnz/s':>7} {'vs_ref':>7} {'rel_err':>9}",
+          file=sys.stderr)
     for r in results:
+        err = f"{r['rel_err']:.1e}" if r.get("rel_err") is not None else "-"
         print(f"{r['name']:22} {r['n']:>10} {r['nnz']:>11} {r['fmt']:9} "
               f"{r['lanczos_s']:>9} {r['gnnz_per_s']:>7} "
-              f"{r['vs_ref'] if r['vs_ref'] else '-':>7}", file=sys.stderr)
+              f"{r['vs_ref'] if r['vs_ref'] else '-':>7} {err:>9}",
+              file=sys.stderr)
     return 0
 
 

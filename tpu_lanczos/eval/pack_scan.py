@@ -291,6 +291,9 @@ def main(argv=None):
     ap.add_argument("--aux", action="store_true",
                     help="scan the fold/spread aux-region layout instead")
     args = ap.parse_args(argv)
+    from tpu_lanczos.utils import enable_heap_reuse
+
+    enable_heap_reuse()  # pack entry point: fault big temporaries once
     gen, ref = _KINDS[args.kind]
     g = gen(generators)
     print(f"{args.kind}: n={g.n} nnz={g.nnz}", file=sys.stderr)

@@ -44,6 +44,9 @@ def main(argv=None):
     ap.add_argument("--only", help="comma-separated config names")
     ap.add_argument("--cache-dir", default=".bench_cache")
     args = ap.parse_args(argv)
+    from tpu_lanczos.utils import enable_heap_reuse
+
+    enable_heap_reuse()  # pack entry point: fault big temporaries once
     # packing is host work: force the CPU backend so a busy/wedged TPU
     # tunnel can't stall it (in this environment jax may be pre-imported
     # with the tunnel platform; env vars are too late — see

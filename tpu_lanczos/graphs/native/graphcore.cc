@@ -768,9 +768,11 @@ extern "C" void *gc_cpg_build_level(int64_t n_entries, int64_t sub,
   }
 
   // per-tile slab-pair occupancy mask (kernel unit-skip predicate);
-  // past int32 capacity (sub >= 768 classic) the kernel is always
-  // dense, so emit the all-ones sentinel instead of shifting past 31
-  if (!slabm && n_slab * n_slab > 30) {
+  // past int32 capacity (sub >= 768 classic, sub >= 3968 slab: the slab
+  // layout uses one bit per OUTPUT slab) the kernel is always dense, so
+  // emit the all-ones sentinel instead of shifting past 31 (signed
+  // shift UB)
+  if ((slabm ? n_slab : n_slab * n_slab) > 30) {
     h->mask.assign(static_cast<size_t>(T), -1);
   } else {
     h->mask.assign(static_cast<size_t>(T), 0);

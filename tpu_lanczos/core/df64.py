@@ -29,7 +29,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-_SPLIT = jnp.float32(4097.0)  # 2^12 + 1 (Veltkamp split constant for f32)
+# High-half mask for the bit-level split: keep sign+exponent+top 11
+# mantissa bits (12 significant bits), zero the low 12.  Both halves
+# then carry <=12 significant bits, so all half-products are exact in
+# f32 (24-bit significand).
+_HI_MASK = jnp.uint32(0xFFFFF000)
 
 
 def two_sum(a, b):
@@ -48,19 +52,47 @@ def fast_two_sum(a, b):
 
 
 def _split(a):
-    """Veltkamp split: a = hi + lo with 12-bit halves (exact products)."""
-    t = _SPLIT * a
-    hi = t - (t - a)
+    """Bit-level split: a = hi + lo with <=12-significant-bit halves
+    (exact products).  A bitcast+mask truncation rather than the
+    classical Veltkamp multiply (t = 4097*a; hi = t - (t - a)): the
+    Veltkamp form relies on the ROUNDING of t, and compiler backends
+    that contract `a*4097 - a` into a fused multiply-add (XLA:CPU's
+    LLVM pipeline does, inside large fusions) compute it exactly,
+    silently destroying the split and with it every downstream
+    error-free transformation — measured as an f32-grade ~2e-8 floor
+    on the whole df64 pipeline.  Bit masking has no multiply to
+    contract, is exact by construction, and is a cheaper VPU op."""
+    bits = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(bits & _HI_MASK, jnp.float32)
     return hi, a - hi
 
 
 def two_prod(a, b):
-    """Error-free a * b = p + e exactly (Dekker, FMA-free)."""
-    p = a * b
+    """Error-free a * b = p + e (exact-product tree, contraction-proof).
+
+    The classical Dekker form computes ``p = a*b`` then reconstructs the
+    error as ``(ah*bh - p) + ...`` — which requires ``p`` to be the
+    ROUNDED product.  XLA:CPU's codegen contracts ``mul`` feeding
+    ``add``/``sub`` into an FMA unconditionally (no flag disables it;
+    optimization_barrier and bitcast round-trips are elided before
+    codegen), so any consumer of ``p`` may silently see the UNROUNDED
+    product and the EFT collapses to f32 grade (measured: a stable
+    ~2e-8 floor on the df64 pipeline).
+
+    This version never exposes a rounded product to an add/sub: the
+    four split-products are EXACT in f32 (each factor carries <=12
+    significand bits, see _split), and ``fma(x, y, z) == (x*y) + z ==
+    round(round(x*y) + z)`` when ``x*y`` is exact — so FMA contraction
+    is semantics-preserving everywhere it can occur.  ``p`` itself is
+    assembled by two_sums (add-topped, nothing to contract), and
+    ``p + e == a*b`` exactly with the error terms' own rounding at
+    second order (~2^-48 relative), same as the Dekker form."""
     ah, al = _split(a)
     bh, bl = _split(b)
-    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
-    return p, e
+    p, e1 = two_sum(ah * bh, ah * bl)
+    p, e2 = two_sum(p, al * bh)
+    p, e3 = two_sum(p, al * bl)
+    return p, (e1 + e2) + e3
 
 
 # ------------------------------------------------------------- df scalars

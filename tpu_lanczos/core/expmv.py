@@ -73,9 +73,10 @@ def fa_multiply_out_host_eig(state: LanczosState, f):
     ``log_scale`` is None.  True ans = ans_scaled * e^log_scale.
     Raises FloatingPointError when f is non-finite on a Ritz value
     (e.g. a resolvent pole inside the spectrum)."""
-    evals, evecs = tridiag.eigh_host(
-        np.asarray(state.alpha), np.asarray(state.beta)
-    )
+    alpha_h, beta_h, x_norm_h = jax.device_get(
+        (state.alpha, state.beta, state.x_norm)
+    )  # one host sync, not three (see multiply_out_host_eig)
+    evals, evecs = tridiag.eigh_host(alpha_h, beta_h)
     fe = np.asarray(f(evals), dtype=np.float64)
     if not np.all(np.isfinite(fe)):
         raise FloatingPointError(
@@ -84,7 +85,7 @@ def fa_multiply_out_host_eig(state: LanczosState, f):
             "exp-family f at scale use expm_action's log_scale path); "
             "cannot form f(A).x"
         )
-    w = fe * (float(state.x_norm) * evecs[0, :])
+    w = fe * (float(x_norm_h) * evecs[0, :])
     tmp = evecs @ w
     dtype = state.q_basis.dtype
     fin = np.finfo(np.float32 if dtype == jnp.bfloat16 else dtype)
@@ -102,11 +103,17 @@ def fa_multiply_out_host_eig(state: LanczosState, f):
 def multiply_out_host_eig(state: LanczosState, log_scale: bool = False):
     """Accurate split path: host LAPACK eigensolve of T (float64, the
     reference's architecture — eigen on CPU even for the CUDA pipelines),
-    then the O(nk) GEMV on device. Not jittable end-to-end (by design)."""
-    evals, evecs = tridiag.eigh_host(
-        np.asarray(state.alpha), np.asarray(state.beta)
+    then the O(nk) GEMV on device. Not jittable end-to-end (by design).
+
+    alpha/beta/x_norm come down in ONE device_get: each separate
+    ``np.asarray(device_array)`` is its own host sync, and on a
+    tunneled/remote device every sync bills a full RTT (~25-30 ms on the
+    testbed) — three scalar fetches were costing more than the GEMV."""
+    alpha_h, beta_h, x_norm_h = jax.device_get(
+        (state.alpha, state.beta, state.x_norm)
     )
-    tmp, shift = coefficients(evals, evecs, float(state.x_norm), xp=np)
+    evals, evecs = tridiag.eigh_host(alpha_h, beta_h)
+    tmp, shift = coefficients(evals, evecs, float(x_norm_h), xp=np)
     dtype = state.q_basis.dtype
     ans_scaled = _gemv(jnp.asarray(tmp.astype(dtype)), state.q_basis)
     if log_scale:

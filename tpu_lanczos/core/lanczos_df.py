@@ -105,6 +105,50 @@ def lanczos_recombine_df(cg: CPGGraph, x_hi, x_lo, coeff_hi, coeff_lo,
     return ansh, ansl
 
 
+@partial(jax.jit, static_argnames=("k", "interpret"))
+def lanczos_recombine_df_multi(cg: CPGGraph, x_hi, x_lo, coeff_hi,
+                               coeff_lo, k: int, interpret: bool = False):
+    """Multi-answer pass 2: ``coeff_*`` is (n_ks, k) — row m holds the
+    coefficient vector for Krylov dimension ks[m], ZERO-PADDED beyond
+    its own k.  One q_j regeneration sweep accumulates every answer
+    simultaneously (ans[m] += coeff[m, j] * q_j), so a whole
+    convergence study costs one extra O(n_ks * n) accumulator instead
+    of n_ks recombine sweeps.  Returns (ans_hi, ans_lo) of (n_ks, n)."""
+    x = (x_hi, x_lo)
+    x_norm = df.df_norm(x)
+    inv = df.df_div(df.df_from(jnp.float32(1.0)), x_norm)
+    q0 = df.df_scale(inv, x)
+    n_ks = coeff_hi.shape[0]
+    zv = jnp.zeros_like(x_hi)
+    za = jnp.zeros((n_ks,) + x_hi.shape, jnp.float32)
+    zk = jnp.zeros((k,), jnp.float32)
+
+    def accum(ansh, ansl, j, qh, ql):
+        shape = ansh.shape
+        c = (jnp.broadcast_to(coeff_hi[:, j][:, None], shape),
+             jnp.broadcast_to(coeff_lo[:, j][:, None], shape))
+        qb = (jnp.broadcast_to(qh[None, :], shape),
+              jnp.broadcast_to(ql[None, :], shape))
+        return df.df_add((ansh, ansl), df.df_mul(c, qb))
+
+    def body(j, carry):
+        qh, ql, ph, pl_, ansh, ansl, bh, bl = carry
+        ansh, ansl = accum(ansh, ansl, j, qh, ql)
+        jm = jnp.maximum(j - 1, 0)
+        b_prev = (jnp.where(j > 0, bh[jm], 0.0),
+                  jnp.where(j > 0, bl[jm], 0.0))
+        _, b, q_next = _body_core(cg, (qh, ql), (ph, pl_), b_prev, interpret)
+        bh = bh.at[j].set(b[0])
+        bl = bl.at[j].set(b[1])
+        return (q_next[0], q_next[1], qh, ql, ansh, ansl, bh, bl)
+
+    init = (q0[0], q0[1], zv, zv, za, za, zk, zk)
+    carry = jax.lax.fori_loop(0, k - 1, body, init) if k > 1 else init
+    qh, ql, _, _, ansh, ansl, _, _ = carry
+    ansh, ansl = accum(ansh, ansl, k - 1, qh, ql)
+    return ansh, ansl
+
+
 def split_f64(a: np.ndarray):
     """Host: f64 array -> (hi, lo) f32 pair with hi + lo == a (to f32x2
     precision)."""
@@ -161,3 +205,78 @@ def expm_action_df(graph, x: np.ndarray | None = None, k: int = 50, *,
         log_scale=float(shift) if log_scale else None,
         alpha=alpha64, beta=beta64, x_norm=xn64, k=k,
     )
+
+
+def expm_action_ks_df(graph, ks, x: np.ndarray | None = None, *,
+                      dg: CPGGraph | None = None, log_scale: bool = False,
+                      interpret: bool | None = None):
+    """df64 answers for EVERY requested Krylov dimension from one
+    decomposition — the df64 analog of pipeline.expm_action_ks, i.e.
+    the reference's convergence study (serial/tests/numerical_test.sh
+    k-grid; writeup Table 5) at hardware-f64 accuracy on TPU.
+
+    One alpha/beta pass + ONE multi-answer recombine pass (the pass-2
+    sweep accumulates all |ks| answers simultaneously).  Returns
+    ``(results, diffs)`` exactly like expm_action_ks: ``results[k]`` a
+    LanczosResult (float64 host arrays), ``diffs[k]`` the Table-5
+    self-consistency metric ||ans_k - ans_kmax|| / ||ans_kmax|| on a
+    common log-scale shift."""
+    from tpu_lanczos.core import expmv, tridiag
+    from tpu_lanczos.core.pipeline import LanczosResult
+    from tpu_lanczos.kernels.cpg import pack_cpg
+
+    ks = sorted({max(min(int(k), graph.n - 1), 1) for k in ks})
+    k_max = ks[-1]
+    if dg is None:
+        dg = pack_cpg(graph)
+    if interpret is None:
+        interpret = jax.default_backend() in ("cpu", "gpu")
+    if x is None:
+        x_hi = dg.realmask.astype(jnp.float32)
+        x_lo = jnp.zeros_like(x_hi)
+    else:
+        hi, lo = split_f64(dg.permute_in(np.asarray(x, np.float64),
+                                         np.float64))
+        x_hi, x_lo = jnp.asarray(hi), jnp.asarray(lo)
+
+    alpha, beta, x_norm = lanczos_alphabeta_df(dg, x_hi, x_lo, k_max,
+                                               interpret=interpret)
+    # one host sync for the pass-1 outputs
+    ah, al, bh, bl, xh, xl = jax.device_get(
+        (alpha[0], alpha[1], beta[0], beta[1], x_norm[0], x_norm[1]))
+    alpha64 = df.df_to_f64((ah, al))
+    beta64 = df.df_to_f64((bh, bl))
+    xn64 = float(df.df_to_f64((xh, xl)))
+
+    coeff = np.zeros((len(ks), k_max), np.float64)
+    shifts = {}
+    for m, k in enumerate(ks):
+        evals, evecs = tridiag.eigh_host(alpha64[:k], beta64[: k - 1])
+        c, shift = expmv.coefficients(evals, evecs, xn64, xp=np)
+        coeff[m, :k] = c
+        shifts[k] = float(shift)
+    ch, cl = split_f64(coeff)
+    ansh, ansl = lanczos_recombine_df_multi(
+        dg, x_hi, x_lo, jnp.asarray(ch), jnp.asarray(cl), k_max,
+        interpret=interpret,
+    )
+    ansh_h, ansl_h = jax.device_get((ansh, ansl))
+    results = {}
+    for m, k in enumerate(ks):
+        ans64 = df.df_to_f64((ansh_h[m], ansl_h[m]))
+        if not log_scale:
+            ans64 = ans64 * np.exp(shifts[k])
+        results[k] = LanczosResult(
+            ans=dg.permute_out(ans64),
+            log_scale=shifts[k] if log_scale else None,
+            alpha=alpha64[:k], beta=beta64[: k - 1], x_norm=xn64, k=k,
+        )
+    ref = results[k_max].ans
+    ref_norm = np.linalg.norm(ref)
+    diffs = {}
+    for k in ks:
+        a = results[k].ans
+        if log_scale:
+            a = a * np.exp(shifts[k] - shifts[k_max])
+        diffs[k] = float(np.linalg.norm(a - ref) / ref_norm)
+    return results, diffs

@@ -114,10 +114,13 @@ def expm_action_summary(
     state = lanczos(dg, x_dev, k, spmv_impl=spmv_impl)
     from tpu_lanczos.core import tridiag
 
-    evals, evecs = tridiag.eigh_host(
-        np.asarray(state.alpha), np.asarray(state.beta)
+    # one host sync for all three small outputs (each separate
+    # np.asarray costs a full tunnel RTT — see multiply_out_host_eig)
+    alpha_h, beta_h, x_norm_h = jax.device_get(
+        (state.alpha, state.beta, state.x_norm)
     )
-    tmp, shift = expmv.coefficients(evals, evecs, float(state.x_norm), xp=np)
+    evals, evecs = tridiag.eigh_host(alpha_h, beta_h)
+    tmp, shift = expmv.coefficients(evals, evecs, float(x_norm_h), xp=np)
     nrm, vals, idx = _summary_gemv(
         jnp.asarray(tmp.astype(dtype)), state.q_basis, mask, topk
     )
@@ -281,8 +284,10 @@ def expm_action_ks(
     x_host = np.ones(graph.n) if x is None else np.asarray(x)
     x_dev = jnp.asarray(dg.permute_in(x_host, dtype))
     state = lanczos(dg, x_dev, k_max, spmv_impl=spmv_impl)
-    alpha = np.asarray(state.alpha)
-    beta = np.asarray(state.beta)
+    # one host sync for the small outputs (RTT per sync on the tunnel)
+    alpha, beta, x_norm_h = jax.device_get(
+        (state.alpha, state.beta, state.x_norm)
+    )
     from tpu_lanczos.core import tridiag
 
     results = {}
@@ -290,7 +295,7 @@ def expm_action_ks(
     for k in ks:
         evals, evecs = tridiag.eigh_host(alpha[:k], beta[: k - 1])
         tmp, shift = expmv.coefficients(
-            evals, evecs, float(state.x_norm), xp=np)
+            evals, evecs, float(x_norm_h), xp=np)
         ans_scaled = np.asarray(
             _gemv_prefix(jnp.asarray(tmp.astype(dtype)),
                          state.q_basis, k))
@@ -300,7 +305,7 @@ def expm_action_ks(
             ans=dg.permute_out(ans),
             log_scale=shifts[k] if log_scale else None,
             alpha=alpha[:k], beta=beta[: k - 1],
-            x_norm=float(state.x_norm), k=k,
+            x_norm=float(x_norm_h), k=k,
         )
     ref_k = ks[-1]
     # compare on a COMMON scale: rescale each k's shifted answer by
@@ -416,10 +421,11 @@ def expm_action(
         alpha, beta, x_norm = lanczos_alphabeta(
             dg, x_dev, k, spmv_impl=spmv_impl
         )
-        alpha_h = np.asarray(alpha)
-        beta_h = np.asarray(beta)[: k - 1]
+        # one host sync for all three (RTT per sync on the tunnel)
+        alpha_h, beta_h, x_norm_h = jax.device_get((alpha, beta, x_norm))
+        beta_h = beta_h[: k - 1]
         evals, evecs = tridiag.eigh_host(alpha_h, beta_h)
-        tmp, shift = expmv.coefficients(evals, evecs, float(x_norm), xp=np)
+        tmp, shift = expmv.coefficients(evals, evecs, float(x_norm_h), xp=np)
         ans_scaled = lanczos_recombine(
             dg, x_dev, jnp.asarray(tmp.astype(dtype)), k, spmv_impl=spmv_impl
         )
@@ -430,7 +436,7 @@ def expm_action(
             log_scale=float(shift) if log_scale else None,
             alpha=alpha_h,
             beta=beta_h,
-            x_norm=float(x_norm),
+            x_norm=float(x_norm_h),
             k=k,
         )
 

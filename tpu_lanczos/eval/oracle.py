@@ -95,6 +95,22 @@ def expm_action(
     return multiply_out(dec)
 
 
+def expm_action_shifted(
+    graph: CSRGraph, x: np.ndarray, k: int
+) -> tuple[np.ndarray, float]:
+    """Overflow-safe oracle: returns (e^{A-sI}.x, s) with s = max Ritz
+    value, so the finite part stays representable even when e^{lambda_max}
+    overflows f64 (lambda_max > ~709 on heavy-hub power-law graphs — the
+    regime where the reference's double pipeline printed inf/nan,
+    final_output1.txt:154-159).  e^A.x = e^s * ans_scaled."""
+    k = max(min(k, graph.n - 1), 1)
+    dec = lanczos(graph, x, k)
+    evals, evecs = tridiag_eigh(dec.alpha, dec.beta)
+    shift = float(evals[-1])
+    w = np.exp(evals - shift) * dec.x_norm * evecs[0, :]
+    return dec.q_basis @ (evecs @ w), shift
+
+
 def fa_action(graph: CSRGraph, x: np.ndarray, k: int, f) -> np.ndarray:
     """Oracle for the general spectral-function action f(A)x:
     ans = ||x|| * Q @ V @ (f(Lambda) * V^T e1)."""

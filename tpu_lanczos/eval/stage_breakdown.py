@@ -1,0 +1,154 @@
+"""Whole-pipeline stage breakdown for the flagship bn1M k=50 run.
+
+The reference commits a per-stage table for every benchmark (lanczos /
+eigen / multiply-out, parallel-final/main.cu:134-150 printed into
+final_output1.txt); this is the TPU equivalent, splitting the whole
+e^A.x pipeline into device-fenced stages so the committed whole-pipeline
+number is explained, not just asserted:
+
+  lanczos      k-step decomposition (one jitted program) + first sync
+  fetch_small  device_get of (alpha, beta, x_norm) — ONE host sync
+  eig          host LAPACK tridiagonal eigensolve (k x k)
+  coeff        tmp = V (e^(L-s) * ||x|| * V[0,:])  (host, k-length)
+  gemv         ans = tmp @ Q on the MXU (dispatch + fence)
+  d2h_ans      full n-vector device->host transfer
+  permute_out  undo the pack's row permutation (host numpy)
+
+On the testbed every host sync pays a tunnel RTT (~25-30 ms), so stage
+arithmetic here deliberately separates compute from sync cost — the
+reference's cudaEvent timing rode local PCIe and never saw this term.
+
+Run: ``python -m tpu_lanczos.eval.stage_breakdown [--reps 5] [--k 50]``
+Prints the stage table plus one JSON study line for suite_full.jsonl.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=50)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--config", default="ba_1M_m10")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_lanczos.core import expmv, tridiag
+    from tpu_lanczos.core.lanczos import lanczos
+    from tpu_lanczos.core.pipeline import expm_action
+    from tpu_lanczos.eval.bench_suite import CONFIGS, build, pack_cache_path
+    from tpu_lanczos.utils import enable_compile_cache, enable_heap_reuse
+
+    enable_compile_cache()
+    enable_heap_reuse()
+    cfg = next(c for c in CONFIGS if c["name"] == args.config)
+    g = build(cfg)
+    cpath = pack_cache_path(cfg)
+    dg = None
+    import os
+
+    if os.path.exists(cpath):
+        from tpu_lanczos.kernels.cpg import load_cpg
+
+        dg = load_cpg(cpath)
+    if dg is None:
+        from tpu_lanczos.kernels.cpg import pack_cpg
+
+        dg = pack_cpg(g, **(cfg.get("pack") or {}))
+    k = args.k
+    x = dg.realmask.astype(jnp.float32)
+
+    # warm-up: compile everything once.  log_scale: e^shift overflows
+    # f32 on this graph class (lambda_max >> 88) — the production path
+    # for bn1M keeps the answer scaled, exactly like the suite's
+    # whole-pipeline row (the reference's own f32 run NaN'd here,
+    # output/single_double.txt:27-31)
+    r = expm_action(g, None, k, dg=dg, log_scale=True)
+    assert np.all(np.isfinite(r.ans[:8]))
+
+    stages = {n: [] for n in ("lanczos", "fetch_small", "eig", "coeff",
+                              "gemv", "d2h_ans", "permute_out")}
+    whole = []
+    for _ in range(args.reps):
+        t_all = time.time()
+        t0 = time.time()
+        state = lanczos(dg, x, k)
+        jax.block_until_ready(state.alpha)
+        stages["lanczos"].append(time.time() - t0)
+
+        t0 = time.time()
+        alpha_h, beta_h, x_norm_h = jax.device_get(
+            (state.alpha, state.beta, state.x_norm))
+        stages["fetch_small"].append(time.time() - t0)
+
+        t0 = time.time()
+        evals, evecs = tridiag.eigh_host(alpha_h, beta_h)
+        stages["eig"].append(time.time() - t0)
+
+        t0 = time.time()
+        tmp, shift = expmv.coefficients(evals, evecs, float(x_norm_h),
+                                        xp=np)
+        stages["coeff"].append(time.time() - t0)
+
+        t0 = time.time()
+        # log-scale form: the e^shift factor is carried symbolically
+        # (it overflows f32 on this graph class), matching the
+        # production expm_action(log_scale=True) path
+        ans_dev = expmv._gemv(jnp.asarray(tmp.astype(np.float32)),
+                              state.q_basis)
+        jax.block_until_ready(ans_dev)
+        stages["gemv"].append(time.time() - t0)
+
+        t0 = time.time()
+        ans_h = np.asarray(ans_dev)
+        stages["d2h_ans"].append(time.time() - t0)
+
+        t0 = time.time()
+        ans = dg.permute_out(ans_h)
+        stages["permute_out"].append(time.time() - t0)
+        whole.append(time.time() - t_all)
+        del state, ans_dev, ans
+
+    med = {n: float(np.median(v)) for n, v in stages.items()}
+    total = sum(med.values())
+    print(f"{'stage':12} {'median_s':>9} {'%':>6}", file=sys.stderr)
+    for n, v in med.items():
+        print(f"{n:12} {v:9.4f} {100*v/total:6.1f}", file=sys.stderr)
+    print(f"{'sum':12} {total:9.4f}", file=sys.stderr)
+
+    # the honest end-to-end number: the public expm_action call,
+    # single-run (one pipeline, every sync billed), median of reps
+    e2e = []
+    for _ in range(args.reps):
+        t0 = time.time()
+        r = expm_action(g, None, k, dg=dg, log_scale=True)
+        e2e.append(time.time() - t0)
+        del r
+    whole_s = float(np.median(e2e))
+
+    row = dict(
+        study=f"{args.config}_stage_breakdown_k{k}",
+        stages_s={n: round(v, 4) for n, v in med.items()},
+        staged_sum_s=round(total, 4),
+        whole_s=round(whole_s, 4),
+        ref_cuda_whole_s=cfg.get("ref_whole_s", 0.4928),
+        vs_ref=round(cfg.get("ref_whole_s", 0.4928) / whole_s, 3),
+        note=(f"median of {args.reps}; single-run protocol (every host "
+              "sync billed, incl. tunnel RTT); whole_s = public "
+              "expm_action end-to-end"),
+    )
+    print(json.dumps(row), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -293,3 +293,32 @@ def test_expm_action_ks_log_scale_overflow_regime():
         assert np.all(np.isfinite(results[k].ans))
         assert results[k].log_scale is not None
     assert diffs[30] == 0.0 and np.isfinite(diffs[10])
+
+
+def test_expm_action_pipelined_matches_sequential():
+    """The multi-query serving path (answer D2H of query i overlapped
+    with query i+1's Lanczos) must return bit-identical results to the
+    one-at-a-time driver, in order, for ones and custom start vectors."""
+    from tpu_lanczos.core.pipeline import expm_action_pipelined
+
+    g = generators.barabasi_albert(400, 5, seed=3)
+    rng = np.random.default_rng(0)
+    xs = [None, rng.standard_normal(g.n), rng.random(g.n)]
+    piped = expm_action_pipelined(g, xs, k=25)
+    assert len(piped) == 3
+    for x, got in zip(xs, piped):
+        want = expm_action(g, x, k=25)
+        np.testing.assert_array_equal(got.ans, want.ans)
+        np.testing.assert_array_equal(got.alpha, want.alpha)
+        assert got.log_scale is None and want.log_scale is None
+
+
+def test_expm_action_pipelined_log_scale():
+    from tpu_lanczos.core.pipeline import expm_action_pipelined
+
+    g = generators.barabasi_albert(300, 4, seed=5)
+    piped = expm_action_pipelined(g, [None, None], k=20, log_scale=True)
+    want = expm_action(g, None, k=20, log_scale=True)
+    for got in piped:
+        np.testing.assert_array_equal(got.ans, want.ans)
+        assert got.log_scale == want.log_scale

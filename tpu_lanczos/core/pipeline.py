@@ -467,3 +467,86 @@ def expm_action(
         x_norm=float(state.x_norm),
         k=k,
     )
+
+
+def expm_action_pipelined(
+    graph: CSRGraph,
+    xs,
+    k: int = 50,
+    *,
+    dtype: str | jnp.dtype = "float32",
+    fmt: str = "auto",
+    spmv_impl: str = "auto",
+    log_scale: bool = False,
+    dg: DeviceGraph | None = None,
+    ell_pct: float = 98.0,
+) -> "list[LanczosResult]":
+    """Serve a stream of start vectors with software pipelining: query
+    i's answer D2H + host post-processing run while query i+1's Lanczos
+    executes on the device.
+
+    The TPU analog of the reference streaming Q columns D2H on a side
+    stream during the decompose loop (parallel-final/lib/cu_lanczos.cu:
+    126): the transfer rides behind device compute instead of
+    serializing after it.  On a host-local chip the answer transfer is
+    ~1 ms and this is a minor win; through a remote/tunneled device the
+    D2H is the dominant non-Lanczos stage (see the round-4 stage
+    breakdown in docs/DESIGN.md) and pipelining recovers it entirely.
+
+    Each ``xs`` element is an (n,) start vector, or None for the
+    all-ones centrality vector.  Results come back in order.  Peak
+    device memory holds TWO q_basis buffers (k * n_pad words each) plus
+    the pack — one query in flight behind the current one.
+    """
+    k = int(max(min(k, graph.n - 1), 1))
+    if dg is None:
+        dg = _resolve_dg(graph, fmt, ell_pct)
+    dtype = jnp.dtype(dtype)
+    from tpu_lanczos.core import tridiag
+
+    results: "list[LanczosResult]" = []
+    pending = None  # (ans_dev, shift, alpha_h, beta_h, x_norm_h)
+
+    def drain():
+        ans_dev, shift, alpha_h, beta_h, x_norm_h = pending
+        ans_scaled = np.asarray(ans_dev)
+        if not log_scale:
+            ans_scaled = ans_scaled * np.exp(shift).astype(
+                ans_scaled.dtype)
+        results.append(LanczosResult(
+            ans=dg.permute_out(ans_scaled),
+            log_scale=float(shift) if log_scale else None,
+            alpha=alpha_h, beta=beta_h, x_norm=float(x_norm_h), k=k,
+        ))
+
+    mask1d = getattr(dg, "realmask", None)
+    if mask1d is not None and (mask1d.ndim != 1
+                               or mask1d.size != getattr(dg, "n_pad", -1)):
+        mask1d = None
+    for x in xs:
+        if x is None and mask1d is not None:
+            x_dev = mask1d.astype(dtype)
+        else:
+            x_host = np.ones(graph.n) if x is None else np.asarray(x)
+            x_dev = jnp.asarray(dg.permute_in(x_host, dtype))
+        # dispatch this query's Lanczos; the device starts immediately
+        state = lanczos(dg, x_dev, k, spmv_impl=spmv_impl)
+        if pending is not None:
+            drain()  # previous answer D2H overlaps this query's compute
+            pending = None
+        alpha_h, beta_h, x_norm_h = jax.device_get(
+            (state.alpha, state.beta, state.x_norm))
+        evals, evecs = tridiag.eigh_host(alpha_h, beta_h)
+        tmp, shift = expmv.coefficients(evals, evecs, float(x_norm_h),
+                                        xp=np)
+        ans_dev = expmv._gemv(jnp.asarray(tmp.astype(dtype)),
+                              state.q_basis)
+        try:
+            ans_dev.copy_to_host_async()
+        except Exception:
+            pass  # backends without async host copy: drain() still works
+        pending = (ans_dev, shift, alpha_h, beta_h, x_norm_h)
+        del state
+    if pending is not None:
+        drain()
+    return results

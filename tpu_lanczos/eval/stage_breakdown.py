@@ -135,16 +135,39 @@ def main(argv=None):
         del r
     whole_s = float(np.median(e2e))
 
+    # pipelined throughput: overlap run i's answer D2H (the dominant
+    # non-Lanczos stage on this testbed — the tunnel moves ~30 MB/s
+    # where the reference's local PCIe moved GB/s) with run i+1's
+    # Lanczos compute.  This is the TPU analog of the reference
+    # streaming Q columns D2H on a side stream during the decompose
+    # loop (parallel-final/lib/cu_lanczos.cu:126): the transfer rides
+    # behind device compute instead of serializing after it.
+    from tpu_lanczos.core.pipeline import expm_action_pipelined
+
+    n_pipe = max(args.reps, 3)
+    t_all = time.time()
+    rs = expm_action_pipelined(g, [None] * n_pipe, k, dg=dg,
+                               log_scale=True)
+    pipelined_s = (time.time() - t_all) / n_pipe
+    assert len(rs) == n_pipe and np.isfinite(rs[-1].ans[0])
+
     row = dict(
         study=f"{args.config}_stage_breakdown_k{k}",
         stages_s={n: round(v, 4) for n, v in med.items()},
         staged_sum_s=round(total, 4),
         whole_s=round(whole_s, 4),
+        pipelined_s=round(pipelined_s, 4),
+        pipeline_depth=n_pipe,
         ref_cuda_whole_s=cfg.get("ref_whole_s", 0.4928),
         vs_ref=round(cfg.get("ref_whole_s", 0.4928) / whole_s, 3),
+        vs_ref_pipelined=round(
+            cfg.get("ref_whole_s", 0.4928) / pipelined_s, 3),
         note=(f"median of {args.reps}; single-run protocol (every host "
               "sync billed, incl. tunnel RTT); whole_s = public "
-              "expm_action end-to-end"),
+              "expm_action end-to-end; pipelined_s = per-query wall of "
+              "the expm_action_pipelined serving API (answer D2H of "
+              "query i overlapped with query i+1's Lanczos; ref analog: "
+              "Q-column stream-out, cu_lanczos.cu:126)"),
     )
     print(json.dumps(row), flush=True)
     return 0

@@ -25,6 +25,7 @@ from tpu_lanczos.graphs import generators
 from tpu_lanczos.core.pipeline import (
     expm_action,
     expm_action_ks,
+    expm_action_pipelined,
     fa_action,
     expm_action_summary,
     run_config,
@@ -34,7 +35,7 @@ from tpu_lanczos.core.pipeline import (
 )
 from tpu_lanczos.config import Config
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "CSRGraph",
@@ -42,6 +43,7 @@ __all__ = [
     "generators",
     "expm_action",
     "expm_action_ks",
+    "expm_action_pipelined",
     "fa_action",
     "expm_action_summary",
     "SummaryResult",

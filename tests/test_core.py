@@ -322,3 +322,27 @@ def test_expm_action_pipelined_log_scale():
     for got in piped:
         np.testing.assert_array_equal(got.ans, want.ans)
         assert got.log_scale == want.log_scale
+
+
+def test_spectral_bounds_brackets_lambda_max():
+    """ritz_max <= lambda_max <= max degree, with ritz_max sharp by
+    k=40 (all-ones start overlaps the Perron eigenvector)."""
+    from tpu_lanczos.core.pipeline import spectral_bounds
+
+    g = generators.barabasi_albert(2000, 6, seed=11)
+    ritz, upper = spectral_bounds(g, k=40)
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spl
+
+    A = sp.csr_matrix(
+        (np.ones(len(g.indices)), g.indices, g.indptr), shape=(g.n, g.n))
+    lam = float(spl.eigsh(A, k=1, which="LA",
+                          return_eigenvectors=False)[0])
+    # f32 Ritz values estimate lam to roundoff (may overshoot slightly)
+    assert abs(ritz - lam) / lam < 1e-3
+    assert lam <= upper + 1e-6
+    # the fa_action resolvent contract: sigma > upper is finite
+    import tpu_lanczos as tl
+
+    katz = tl.fa_action(g, lambda ev: 1.0 / (upper + 1.0 - ev), k=30)
+    assert np.all(np.isfinite(katz.ans))

@@ -27,6 +27,7 @@ from tpu_lanczos.core.pipeline import (
     expm_action_ks,
     expm_action_pipelined,
     fa_action,
+    spectral_bounds,
     expm_action_summary,
     run_config,
     best_device_pack,
@@ -45,6 +46,7 @@ __all__ = [
     "expm_action_ks",
     "expm_action_pipelined",
     "fa_action",
+    "spectral_bounds",
     "expm_action_summary",
     "SummaryResult",
     "run_config",

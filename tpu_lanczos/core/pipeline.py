@@ -550,3 +550,48 @@ def expm_action_pipelined(
     if pending is not None:
         drain()
     return results
+
+
+def spectral_bounds(
+    graph: CSRGraph,
+    k: int = 30,
+    *,
+    dg: DeviceGraph | None = None,
+    fmt: str = "auto",
+    ell_pct: float = 98.0,
+    spmv_impl: str = "auto",
+) -> "tuple[float, float]":
+    """Estimate the spectral interval of A: returns ``(ritz_max, upper)``.
+
+    ``ritz_max`` is the largest Ritz value of a k-step Lanczos run — a
+    sharp estimate of lambda_max, converged to ~1e-4 relative by k ~ 30
+    on the suite's graph classes (the all-ones start vector has
+    guaranteed overlap with the Perron eigenvector of a connected
+    adjacency matrix).  In exact arithmetic Ritz values are lower
+    bounds; under the f32 recurrence they can overshoot lambda_max by
+    O(eps * lambda), so treat ritz_max as an estimate, not a bound.  ``upper`` is the certified bound
+    ``max degree = ||A||_inf`` (exact for the value-free 0/1 symmetric
+    CSR).  For `fa_action` resolvents (Katz centrality) pick
+    ``sigma > upper`` for a guaranteed-finite kernel, or
+    ``sigma = ritz_max * (1 + eps)`` for the sharpest one.
+
+    Uses the Q-free alpha/beta pass (no n x k basis is stored), so it is
+    safe at any graph size the SpMV itself handles.
+    """
+    from tpu_lanczos.core import tridiag
+    from tpu_lanczos.core.lanczos import lanczos_alphabeta
+
+    k = int(max(min(k, graph.n - 1), 1))
+    if dg is None:
+        dg = _resolve_dg(graph, fmt, ell_pct)
+    mask1d = getattr(dg, "realmask", None)
+    if mask1d is not None and (mask1d.ndim == 1
+                               and mask1d.size == getattr(dg, "n_pad", -1)):
+        x_dev = mask1d.astype(jnp.float32)
+    else:
+        x_dev = jnp.asarray(dg.permute_in(np.ones(graph.n), jnp.float32))
+    alpha, beta, _ = lanczos_alphabeta(dg, x_dev, k, spmv_impl=spmv_impl)
+    alpha_h, beta_h = jax.device_get((alpha, beta))
+    evals, _ = tridiag.eigh_host(alpha_h, beta_h[: k - 1])
+    max_deg = int(np.max(np.diff(graph.indptr))) if graph.n else 0
+    return float(evals[-1]), float(max_deg)

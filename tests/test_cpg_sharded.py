@@ -232,3 +232,57 @@ def test_sharded_mesh_uses_compact_halo_and_matches_oracle():
     ans = sg.permute_out(np.asarray(expmv.multiply_out_host_eig(st)))
     ref = oracle.expm_action(g, np.ones(g.n), 12)
     assert oracle.rel_error(ans, ref) < 1e-10
+
+
+def test_overlap_split_run_ids_consecutive():
+    """The streamed-x kernel assigns its x-chunk VMEM slot as
+    run_ids[t] % (2*U) with two tile groups of source DMAs in flight,
+    so run ids must be CONSECUTIVE (gap-free) along every shard's tile
+    list — a gap of a multiple of 2U inside one dest chunk's window
+    would let a later run's DMA overwrite a live slot and silently
+    corrupt the SpMV.  The own/cross overlap subsets are non-contiguous
+    in the global pack, so this asserts the renumbering invariant on
+    every level of real overlap packs (the end-to-end collision only
+    manifests at production tile counts)."""
+    for g in (generators.barabasi_albert(100_000, 8, seed=2),
+              generators.uniform_random(80_000, 400_000, seed=1)):
+        sg = pack_cpg_sharded(g, 4, overlap=True)
+        assert sg.overlap and sg.n_main == 2
+        cross_tiles = 0
+        for li, lv in enumerate(sg.levels):
+            C = np.asarray(lv["counts"])
+            R = np.asarray(lv["run_ids"])
+            if li == 1:
+                cross_tiles += int(C.sum())
+            for sh in range(C.shape[0]):
+                m = int(C[sh].sum())
+                if m < 2:
+                    continue
+                d = np.diff(R[sh, :m].astype(np.int64))
+                assert d.min() >= 0 and d.max() <= 1, (li, sh)
+        assert cross_tiles > 0  # the split is actually exercised
+
+
+@pytest.mark.parametrize("name", ["stencil", "uniform"])
+def test_overlap_split_streamed_x_matches_oracle(name, monkeypatch):
+    """End-to-end streamed-x check of the overlap split: force the
+    resident limit to 0 so the cross pass streams source chunks through
+    the double-buffered xs lane (the production regime for >2M-node
+    graphs), and verify against the oracle on the CPU mesh."""
+    from tpu_lanczos.kernels import spmv_cpg as _k
+
+    monkeypatch.setattr(_k, "_RESIDENT_X_LIMIT", 0)
+    g = GRAPHS[name]()
+    D, k = 4, 15
+    mesh = make_mesh(D)
+    sg = pack_cpg_sharded(g, D, mesh=mesh, overlap=True)
+    assert sg.overlap
+    x = jax.device_put(
+        jnp.asarray(sg.permute_in(np.ones(g.n), np.float64)),
+        jax.sharding.NamedSharding(mesh,
+                                   jax.sharding.PartitionSpec(ROWS)),
+    )
+    st = lanczos_cpg_sharded(sg, x, k, mesh, interpret=True)
+    ans = sg.permute_out(np.asarray(expmv.multiply_out_host_eig(st)))
+    ref = oracle.expm_action(g, np.ones(g.n), k)
+    assert oracle.rel_error(ans, ref) < 1e-10

@@ -176,6 +176,9 @@ def main(argv=None) -> int:
         if args.dtype == "df64":
             # df64 convergence study: one alpha/beta pass + one
             # multi-answer recombine (two-pass Q-free by construction)
+            if args.fmt not in ("best", "cpg"):
+                print("note: df64 always runs the two-pass CPG pipeline "
+                      "(--fmt ignored)", file=sys.stderr)
             from tpu_lanczos.core.lanczos_df import expm_action_ks_df
 
             results, diffs = expm_action_ks_df(
@@ -321,6 +324,9 @@ def main(argv=None) -> int:
                 # f64 answer on the host anyway (hi+lo pair D2H), so the
                 # summary reduces there — same output surface, f64-grade
                 # values (no O(topk)-transfer claim for this dtype)
+                if args.fmt not in ("best", "cpg"):
+                    print("note: df64 always runs the two-pass CPG "
+                          "pipeline (--fmt ignored)", file=sys.stderr)
                 from tpu_lanczos.core.lanczos_df import expm_action_df
 
                 res = expm_action_df(g, k=k, dg=dg, log_scale=True)

@@ -371,6 +371,21 @@ def fa_action(
     )
 
 
+def _start_vector(dg: DeviceGraph, graph: CSRGraph, dtype,
+                  x: np.ndarray | None):
+    """Device start vector: for x=None (the all-ones centrality start,
+    serial/main.cc:79) the permuted ones equal the pack's realmask, so
+    the O(n) host->device transfer is skipped entirely."""
+    mask1d = getattr(dg, "realmask", None)
+    if mask1d is not None and (mask1d.ndim != 1
+                               or mask1d.size != getattr(dg, "n_pad", -1)):
+        mask1d = None  # e.g. CST's (128, n_cols) layout mask
+    if x is None and mask1d is not None:
+        return mask1d.astype(dtype)
+    x_host = np.ones(graph.n) if x is None else np.asarray(x)
+    return jnp.asarray(dg.permute_in(x_host, dtype))
+
+
 def expm_action(
     graph: CSRGraph,
     x: np.ndarray | None = None,
@@ -401,16 +416,7 @@ def expm_action(
     if dg is None:
         dg = _resolve_dg(graph, fmt, ell_pct)
     dtype = jnp.dtype(dtype)
-    mask1d = getattr(dg, "realmask", None)
-    if mask1d is not None and (mask1d.ndim != 1
-                               or mask1d.size != getattr(dg, "n_pad", -1)):
-        mask1d = None  # e.g. CST's (128, n_cols) layout mask
-    if x is None and mask1d is not None:
-        # permuted ones == realmask; skip the O(n) H2D transfer
-        x_dev = mask1d.astype(dtype)
-    else:
-        x_host = np.ones(graph.n) if x is None else np.asarray(x)
-        x_dev = jnp.asarray(dg.permute_in(x_host, dtype))
+    x_dev = _start_vector(dg, graph, dtype, x)
 
     if low_mem:
         from tpu_lanczos.core import tridiag
@@ -519,16 +525,8 @@ def expm_action_pipelined(
             alpha=alpha_h, beta=beta_h, x_norm=float(x_norm_h), k=k,
         ))
 
-    mask1d = getattr(dg, "realmask", None)
-    if mask1d is not None and (mask1d.ndim != 1
-                               or mask1d.size != getattr(dg, "n_pad", -1)):
-        mask1d = None
     for x in xs:
-        if x is None and mask1d is not None:
-            x_dev = mask1d.astype(dtype)
-        else:
-            x_host = np.ones(graph.n) if x is None else np.asarray(x)
-            x_dev = jnp.asarray(dg.permute_in(x_host, dtype))
+        x_dev = _start_vector(dg, graph, dtype, x)
         # dispatch this query's Lanczos; the device starts immediately
         state = lanczos(dg, x_dev, k, spmv_impl=spmv_impl)
         if pending is not None:
@@ -584,12 +582,7 @@ def spectral_bounds(
     k = int(max(min(k, graph.n - 1), 1))
     if dg is None:
         dg = _resolve_dg(graph, fmt, ell_pct)
-    mask1d = getattr(dg, "realmask", None)
-    if mask1d is not None and (mask1d.ndim == 1
-                               and mask1d.size == getattr(dg, "n_pad", -1)):
-        x_dev = mask1d.astype(jnp.float32)
-    else:
-        x_dev = jnp.asarray(dg.permute_in(np.ones(graph.n), jnp.float32))
+    x_dev = _start_vector(dg, graph, jnp.float32, None)
     alpha, beta, _ = lanczos_alphabeta(dg, x_dev, k, spmv_impl=spmv_impl)
     alpha_h, beta_h = jax.device_get((alpha, beta))
     evals, _ = tridiag.eigh_host(alpha_h, beta_h[: k - 1])

@@ -145,7 +145,21 @@ def _stack_level(l1, l2, s_loc, run_ids, pair_mask, d_loc_all, tiles,
             L1[s, : m * sub] = l1_3d[ti].reshape(m * sub, LANE)
             L2[s, : m * LANE] = l2_3d[ti].reshape(m * LANE, sub)
             S[s, :m] = s_loc[s]
-            R[s, :m] = run_ids[ti]
+            # renumber run ids to be CONSECUTIVE along this shard's tile
+            # list: the kernel assigns the streamed-x VMEM slot as
+            # run_ids[t] % (2*U) with two tile groups of source DMAs in
+            # flight, so two live runs must never share an id mod 2U — a
+            # guarantee only gap-free numbering gives.  The own/cross
+            # overlap subsets are non-contiguous in the global pack, so
+            # copying the original ids would leave gaps (and a gap of a
+            # multiple of 2U inside one dest chunk's window would let a
+            # later run's source-chunk DMA overwrite a live slot).
+            # Ownership is constant within a run (it depends only on
+            # s_id), so runs are never split and change-points survive.
+            r = run_ids[ti]
+            chg = np.ones(m, np.int64)
+            chg[1:] = (r[1:] != r[:-1]).astype(np.int64)
+            R[s, :m] = (np.cumsum(chg) - 1).astype(np.int32)
             PM[s, :m] = pair_mask[ti]
         cnt = np.bincount(d_loc_all[ti] if m else np.zeros(0, np.int64),
                           minlength=c_loc).astype(np.int32)

@@ -275,10 +275,14 @@ def run_one(cfg, k=50, reps=3, cache_dir=".bench_cache", accuracy=True):
         except Exception as e:  # RESOURCE_EXHAUSTED at the batched sync:
             # the q_basis-budget heuristic under-counted pack + x HBM
             # residency — fall back to single-dispatch sampling for this
-            # config rather than aborting the whole suite run
+            # config rather than aborting the whole suite run.  Drop any
+            # amortized samples already taken: the two protocols differ
+            # by the per-sync tunnel RTT, so mixing them in one median
+            # would misreport both (and the recorded batch field).
             if "RESOURCE_EXHAUSTED" not in str(e):
                 raise
             BATCH = 1
+            times = []
             times.append(sample(1))
     t = float(np.median(times))
     # single-dispatch protocol alongside: one dispatch, one sync — bills

@@ -92,7 +92,6 @@ def main(argv=None):
         np.add.at(indptr, rd + 1, 1)
         np.cumsum(indptr, out=indptr)
         idx = np.empty(len(rd), g.indices.dtype)
-        pos = indptr[:-1].copy()
         o2 = np.argsort(rd, kind="stable")
         idx[:] = rs[o2]
         res = CSRGraph(n=g.n, indptr=indptr.astype(g.indptr.dtype),

@@ -112,7 +112,8 @@ def _run(a, xh, xl, u, n_groups, m_rows, variant, interpret=False):
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x lo row
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, LANE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((max(8, m_rows), LANE),
+                                       jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((_N_PIPE, u * LANE, LANE), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((_N_PIPE,)),
@@ -142,8 +143,9 @@ def main(argv=None):
     bf16 = ml_dtypes.bfloat16
     xh_np = x_np.astype(bf16)
     xl_np = (x_np - xh_np.astype(np.float32)).astype(bf16)
-    xh = jnp.broadcast_to(jnp.asarray(xh_np), (8, LANE))
-    xl = jnp.broadcast_to(jnp.asarray(xl_np), (8, LANE))
+    mr = max(8, args.m_rows)
+    xh = jnp.broadcast_to(jnp.asarray(xh_np), (mr, LANE))
+    xl = jnp.broadcast_to(jnp.asarray(xl_np), (mr, LANE))
 
     # interpret-mode self-check on a small slice (CPU, no tunnel risk)
     Bs = 8

@@ -158,10 +158,10 @@ def main(argv=None):
         whole_s=round(whole_s, 4),
         pipelined_s=round(pipelined_s, 4),
         pipeline_depth=n_pipe,
-        ref_cuda_whole_s=cfg.get("ref_whole_s", 0.4928),
-        vs_ref=round(cfg.get("ref_whole_s", 0.4928) / whole_s, 3),
+        ref_cuda_whole_s=cfg.get("ref_whole_s", 0.455634),
+        vs_ref=round(cfg.get("ref_whole_s", 0.455634) / whole_s, 3),
         vs_ref_pipelined=round(
-            cfg.get("ref_whole_s", 0.4928) / pipelined_s, 3),
+            cfg.get("ref_whole_s", 0.455634) / pipelined_s, 3),
         note=(f"median of {args.reps}; single-run protocol (every host "
               "sync billed, incl. tunnel RTT); whole_s = public "
               "expm_action end-to-end; pipelined_s = per-query wall of "

@@ -230,3 +230,25 @@ def test_checkpoint_corrupt_file_forces_fresh_run(tmp_path):
     x = jnp.asarray(dg.permute_in(np.ones(g.n), np.float64))
     st = lanczos_checkpointed(dg, x, 8, checkpoint_path=str(p), chunk=4)
     assert np.all(np.isfinite(np.asarray(st.alpha)))
+
+
+def test_cli_pipeline_flag(capsys):
+    """--pipeline N serves the query through expm_action_pipelined and
+    reports per-query wall; the answer/cross-check path is unchanged."""
+    from tpu_lanczos.cli.main import main
+
+    rc = main(["-n", "500", "-e", "1500", "-k", "20", "--dtype",
+               "float64", "--pipeline", "3", "-v"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "pipelined x3" in out and "s/query" in out
+    rel = float(out.split("relative ")[1].split(")")[0])
+    assert rel < 1e-10
+
+
+def test_cli_pipeline_flag_rejects_df64():
+    from tpu_lanczos.cli.main import main
+
+    rc = main(["-n", "300", "-e", "900", "-k", "10", "--dtype", "df64",
+               "--pipeline", "2"])
+    assert rc == 2

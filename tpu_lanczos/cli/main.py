@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="hybrid format: ELL width percentile (rest -> COO)")
     p.add_argument("--shards", type=int, default=0,
                    help="row-shard over this many devices (0 = single device)")
+    p.add_argument("--pipeline", type=int, default=0, metavar="N",
+                   help="serve the query N times through the pipelined "
+                        "path (query i's answer D2H rides behind query "
+                        "i+1's Lanczos) and report per-query wall — the "
+                        "throughput surface behind the whole-pipeline "
+                        "benchmark rows")
     p.add_argument("--reorthogonalize", action="store_true")
     p.add_argument("--ks", default=None, metavar="K1,K2,...",
                    help="convergence study: answers for every listed "
@@ -352,7 +358,31 @@ def main(argv=None) -> int:
             print(f"  top-{args.topk} values (scaled): "
                   + " ".join(f"{v:.6e}" for v in srs.top_values))
             return 0
-        if args.dtype == "df64":
+        if args.pipeline:
+            if args.dtype == "df64" or args.low_mem or args.reorthogonalize:
+                print("error: --pipeline supports the standard f32/f64 "
+                      "stored-Q path (no df64/--low-mem/"
+                      "--reorthogonalize)", file=sys.stderr)
+                return 2
+            from tpu_lanczos.core.pipeline import expm_action_pipelined
+
+            # warm-up query compiles everything so the reported
+            # per-query wall is steady-state throughput
+            expm_action_pipelined(g, [None], k, dtype=args.dtype,
+                                  fmt=args.fmt, dg=dg,
+                                  ell_pct=args.ell_pct,
+                                  log_scale=args.log_scale)
+            t0 = time.time()
+            rs = expm_action_pipelined(
+                g, [None] * args.pipeline, k, dtype=args.dtype,
+                fmt=args.fmt, dg=dg, ell_pct=args.ell_pct,
+                log_scale=args.log_scale)
+            per_q = (time.time() - t0) / args.pipeline
+            res = rs[-1]
+            print(f"pipelined x{args.pipeline}: {per_q:.4f}s/query "
+                  "(answer D2H of query i overlapped with query i+1's "
+                  "Lanczos)")
+        elif args.dtype == "df64":
             from tpu_lanczos.core.lanczos_df import expm_action_df
 
             if args.fmt not in ("best", "cpg") or args.reorthogonalize:

@@ -1,0 +1,127 @@
+"""Stochastic trace/diagonal estimators (core/stochastic.py) vs the dense
+oracle — the same verification pattern as the pipeline's analytic test
+(SURVEY.md §4 mechanism 1): exact ground truth on a small graph, seeded
+probes so every number is reproducible."""
+
+import numpy as np
+import pytest
+
+from tpu_lanczos.core import stochastic
+from tpu_lanczos.eval import oracle
+from tpu_lanczos.graphs import generators
+
+
+@pytest.fixture(scope="module")
+def ba200():
+    return generators.barabasi_albert(200, 3, seed=1)
+
+
+@pytest.fixture(scope="module")
+def tr_true(ba200):
+    return oracle.trace_expm_dense(ba200)
+
+
+@pytest.fixture(scope="module")
+def diag_true(ba200):
+    return oracle.diag_expm_dense(ba200)
+
+
+def test_gauss_quadrature_matches_dense(ba200):
+    # deterministic: one fixed probe, f64 oracle Lanczos, k large enough
+    # to converge -> quadrature equals the dense bilinear form
+    rng = np.random.default_rng(0)
+    z = rng.choice([-1.0, 1.0], ba200.n)
+    dec = oracle.lanczos(ba200, z, 60)
+    q = stochastic.gauss_quadrature(dec.alpha, dec.beta,
+                                    float(z @ z), np.exp)
+    q_dense = oracle.quadrature_dense(ba200, z, np.exp)
+    assert abs(q - q_dense) / q_dense < 1e-10
+
+
+def test_gauss_quadrature_polynomial_exactness(ba200):
+    # k-point Gauss quadrature is exact for polynomials of degree 2k-1:
+    # degree 4 at k=5 must match the dense value to rounding
+    rng = np.random.default_rng(1)
+    z = rng.choice([-1.0, 1.0], ba200.n)
+    dec = oracle.lanczos(ba200, z, 5)
+    f = lambda ev: ev**4
+    q = stochastic.gauss_quadrature(dec.alpha, dec.beta, float(z @ z), f)
+    q_dense = oracle.quadrature_dense(ba200, z, f)
+    assert abs(q - q_dense) / q_dense < 1e-12
+
+
+def test_gauss_quadrature_logexp_consistent(ba200):
+    rng = np.random.default_rng(2)
+    z = rng.choice([-1.0, 1.0], ba200.n)
+    dec = oracle.lanczos(ba200, z, 40)
+    lin = stochastic.gauss_quadrature(dec.alpha, dec.beta,
+                                      float(z @ z), np.exp)
+    logv = stochastic.gauss_quadrature_logexp(dec.alpha, dec.beta,
+                                              float(z @ z))
+    assert abs(np.exp(logv) - lin) / lin < 1e-12
+
+
+def test_trace_fa_tr_a_squared(ba200):
+    # tr(A^2) = nnz exactly; k=5 quadrature resolves ev^2 exactly, so the
+    # only error is seeded Hutchinson noise (measured 0.93% here)
+    r = stochastic.trace_fa(ba200, f=lambda ev: ev**2, k=5, probes=64,
+                            seed=3, dtype="float64")
+    assert abs(r.estimate - ba200.nnz) / ba200.nnz < 0.05
+    assert r.stderr > 0
+
+
+def test_estrada_plain_hutchinson(ba200, tr_true):
+    r = stochastic.estrada_index(ba200, k=40, probes=32, deflate=0,
+                                 seed=0, dtype="float64")
+    assert r.deflated == 0
+    # plain Hutchinson on a hub graph: noisy (measured 2.7% at this seed)
+    assert abs(r.estimate - tr_true) / tr_true < 0.15
+    assert abs(np.exp(r.log_estimate) - r.estimate) <= 1e-9 * r.estimate
+
+
+def test_estrada_deflated(ba200, tr_true):
+    r = stochastic.estrada_index(ba200, k=40, probes=32, deflate=8,
+                                 seed=0, dtype="float64")
+    assert r.deflated > 0
+    # top-Ritz deflation removes the hub rays' variance: measured
+    # 1.2e-4 rel err / 1.1e-3 rel stderr at this seed (~200x tighter
+    # than the plain estimator above)
+    assert abs(r.estimate - tr_true) / tr_true < 2e-3
+    assert r.rel_stderr < 1e-2
+
+
+def test_estrada_f32(ba200, tr_true):
+    # f32 device path (the TPU default): noise floor well above f32 eps
+    r = stochastic.estrada_index(ba200, k=40, probes=16, deflate=8,
+                                 seed=0, dtype="float32")
+    assert abs(r.estimate - tr_true) / tr_true < 2e-2
+
+
+def test_subgraph_centrality_deflated(ba200, diag_true):
+    dr = stochastic.subgraph_centrality(ba200, k=30, probes=32, deflate=8,
+                                        seed=0, dtype="float64")
+    d_est = dr.full_diag()
+    assert dr.deflated > 0
+    assert np.corrcoef(d_est, diag_true)[0, 1] > 0.999
+    rel = np.linalg.norm(d_est - diag_true) / np.linalg.norm(diag_true)
+    assert rel < 0.02  # measured 3.8e-3 at this seed
+    assert int(dr.top_nodes(1)[0]) == int(np.argmax(diag_true))
+
+
+def test_subgraph_centrality_plain_runs(ba200, diag_true):
+    # undeflated path (zero-rank deflation arrays through the same
+    # device program): unbiased but noisy — only sanity-check shape,
+    # positivity of the scale anchor, and a loose correlation
+    dr = stochastic.subgraph_centrality(ba200, k=30, probes=32, deflate=0,
+                                        seed=0, dtype="float64")
+    assert dr.deflated == 0
+    assert dr.diag_scaled.shape == (ba200.n,)
+    assert np.isfinite(dr.log_scale)
+    assert np.corrcoef(dr.full_diag(), diag_true)[0, 1] > 0.5
+
+
+def test_diag_trace_consistency(ba200, tr_true):
+    # sum of the diagonal estimate is itself a trace estimate
+    dr = stochastic.subgraph_centrality(ba200, k=30, probes=32, deflate=8,
+                                        seed=0, dtype="float64")
+    assert abs(dr.full_diag().sum() - tr_true) / tr_true < 0.02

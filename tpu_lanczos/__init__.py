@@ -34,6 +34,13 @@ from tpu_lanczos.core.pipeline import (
     LanczosResult,
     SummaryResult,
 )
+from tpu_lanczos.core.stochastic import (
+    estrada_index,
+    subgraph_centrality,
+    trace_fa,
+    TraceResult,
+    DiagResult,
+)
 from tpu_lanczos.config import Config
 
 __version__ = "0.4.0"
@@ -52,5 +59,10 @@ __all__ = [
     "run_config",
     "best_device_pack",
     "LanczosResult",
+    "estrada_index",
+    "subgraph_centrality",
+    "trace_fa",
+    "TraceResult",
+    "DiagResult",
     "Config",
 ]

@@ -78,6 +78,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "(1/(sigma-lambda), Katz-style; sigma > lambda_max),"
                         " or cos.  Non-exp functions run the single-chip "
                         "host-eig pipeline (fa_action)")
+    p.add_argument("--estrada", type=int, default=0, metavar="PROBES",
+                   help="estimate the Estrada index tr(e^A) with PROBES "
+                        "Hutchinson probes (one Q-free Lanczos quadrature "
+                        "each; core/stochastic.py)")
+    p.add_argument("--subgraph", type=int, default=0, metavar="PROBES",
+                   help="estimate subgraph centrality diag(e^A) for every "
+                        "node with PROBES Hutchinson probes; prints the "
+                        "top-10 nodes")
+    p.add_argument("--deflate", type=int, default=8, metavar="M",
+                   help="rank of the top-Ritz deflation basis for "
+                        "--estrada/--subgraph variance reduction (0 = "
+                        "plain Hutchinson)")
     p.add_argument("--log-scale", action="store_true",
                    help="return e^(A - lambda_max I).x plus the shift "
                         "(avoids f32 overflow)")
@@ -155,6 +167,12 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.dtype == "float64":
+        # f64 parity runs (CPU backend): without x64, jnp silently
+        # truncates every array to f32
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
     from tpu_lanczos.utils import enable_compile_cache, enable_heap_reuse
 
     enable_compile_cache()
@@ -172,10 +190,11 @@ def main(argv=None) -> int:
     # ---------------- all-k convergence study (--ks)
     if args.ks:
         if (args.shards or args.topk or args.low_mem
-                or args.func != "exp" or args.reorthogonalize):
+                or args.func != "exp" or args.reorthogonalize
+                or args.estrada or args.subgraph):
             print("error: --ks runs the single-chip exp pipeline (no "
-                  "--shards/--topk/--low-mem/--func/"
-                  "--reorthogonalize)", file=sys.stderr)
+                  "--shards/--topk/--low-mem/--func/--reorthogonalize/"
+                  "--estrada/--subgraph)", file=sys.stderr)
             return 2
         ks = [int(s) for s in args.ks.split(",")]
         t0 = time.time()
@@ -209,6 +228,63 @@ def main(argv=None) -> int:
             for k in sorted(results):
                 write_ans(results[k].ans, f"{args.write_ans}.k{k}")
             print(f"answers written to {args.write_ans}.k<K>")
+        return 0
+
+    # ---------------- stochastic spectral estimators (--estrada/--subgraph)
+    if args.estrada or args.subgraph:
+        if (args.shards or args.topk or args.low_mem or args.func != "exp"
+                or args.dtype == "df64" or args.reorthogonalize
+                or args.ks):
+            print("error: --estrada/--subgraph run the single-chip f32/f64 "
+                  "exp pipeline (no --shards/--topk/--low-mem/--func/df64/"
+                  "--reorthogonalize/--ks)", file=sys.stderr)
+            return 2
+        from tpu_lanczos.core import stochastic
+        from tpu_lanczos.core.pipeline import _resolve_dg
+
+        dgc = _custom_cpg_dg(args, g)
+        if dgc is None:
+            dgc = _resolve_dg(g, args.fmt, args.ell_pct)
+        if args.estrada:
+            t0 = time.time()
+            r = stochastic.estrada_index(
+                g, k=k, probes=args.estrada, deflate=args.deflate,
+                seed=args.seed, dtype=args.dtype, dg=dgc)
+            dt = time.time() - t0
+            print(f"Estrada index tr(e^A) ~= {r.estimate:.6e}   "
+                  f"(log: {r.log_estimate:.6f})")
+            print(f"  probes={r.probes} k={r.k} deflation rank="
+                  f"{r.deflated}  rel stderr={r.rel_stderr:.2e}  "
+                  f"[{dt:.4f}s incl. compile on first run]")
+            if not args.no_serial and g.n <= 4000:
+                from tpu_lanczos.eval import oracle
+
+                tr_true = oracle.trace_expm_dense(g)
+                print(f"  dense oracle: {tr_true:.6e}   rel err "
+                      f"{abs(r.estimate - tr_true) / tr_true:.3e}")
+        if args.subgraph:
+            t0 = time.time()
+            dr = stochastic.subgraph_centrality(
+                g, k=k, probes=args.subgraph, deflate=args.deflate,
+                seed=args.seed, dtype=args.dtype, dg=dgc)
+            dt = time.time() - t0
+            print(f"subgraph centrality diag(e^A), scaled by "
+                  f"e^{dr.log_scale:.4f}:")
+            print(f"  probes={dr.probes} k={dr.k} deflation rank="
+                  f"{dr.deflated}  [{dt:.4f}s incl. compile on first run]")
+            top = dr.top_nodes(10)
+            print("  top-10 nodes: " + ", ".join(
+                f"{i} ({dr.diag_scaled[i]:.4g})" for i in top))
+            if not args.no_serial and g.n <= 4000:
+                from tpu_lanczos.eval import oracle
+
+                d_true = oracle.diag_expm_dense(g)
+                d_est = dr.full_diag()
+                if np.all(np.isfinite(d_est)):
+                    rel = (np.linalg.norm(d_est - d_true)
+                           / np.linalg.norm(d_true))
+                    print(f"  dense oracle: rel l2 err {rel:.3e}, top-1 "
+                          f"match: {int(top[0]) == int(np.argmax(d_true))}")
         return 0
 
     # ---------------- general spectral function (--func != exp)

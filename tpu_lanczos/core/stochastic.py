@@ -1,0 +1,499 @@
+"""Stochastic trace and diagonal estimators for spectral functions of A.
+
+tr(f(A)) (the Estrada index, for f = exp) and diag(f(A)) (subgraph
+centrality, Estrada & Rodriguez-Velazquez) via Hutchinson probing +
+Lanczos quadrature (Golub & Meurant, "Matrices, Moments and Quadrature"),
+with optional top-m Ritz deflation (Hutch++-class variance reduction).
+The reference computes only the single action f(A)x (its whole pipeline,
+README.md:10-16); these estimators are a capability on top, riding the
+identical pack/SpMV/Lanczos machinery:
+
+- a TRACE probe is one Q-free alpha/beta pass
+  (:func:`tpu_lanczos.core.lanczos.lanczos_alphabeta`): for the Lanczos
+  decomposition of (A, z),
+
+      z^T f(A) z  ~=  ||z||^2 * sum_j V[0, j]^2 f(theta_j)
+
+  — the k-point Gauss quadrature rule for the spectral measure of A at
+  z, exact for polynomials of degree <= 2k-1.  For Rademacher z,
+  E[z^T f(A) z] = tr(f(A)).
+
+- a DIAGONAL probe is one full f(A)z action: for Rademacher z,
+  E[z * (f(A) z)] = diag(f(A)) elementwise (the off-diagonal terms have
+  zero-mean +-1 signs).
+
+- DEFLATION: e^A on a hub graph is dominated by its top eigenpairs, and
+  that rank-m part is what makes plain Hutchinson noisy (the variance is
+  2 sum_{i!=j} B_ij^2, carried almost entirely by the top Ritz rays).
+  One k-step reorthogonalized Lanczos run yields converged top Ritz
+  pairs (theta_j, u_j = V[:, j]^T Q); with M = sum_j e^{theta_j} u_j u_j^T
+  the estimator
+
+      tr(e^A) ~= tr(M) + mean_i [ z_i^T e^A z_i - z_i^T M z_i ]
+
+  is unbiased for ANY M (the correction's expectation is exactly tr(M)),
+  and its variance is that of the deflated operator e^A - M.  Same for
+  the diagonal: diag(M) + E[z * (e^A z - M z)].
+
+TPU-first design decisions:
+
+- Probes are generated ON DEVICE with the JAX PRNG, masked to the pack's
+  real cells — no O(n) host->device transfer per probe (the start-vector
+  trick of core/pipeline._start_vector, taken one step further).
+- The diagonal estimator runs ALL probes inside one jitted
+  ``lax.fori_loop``: per probe a k-step Lanczos, an on-device (k, k)
+  tridiagonal eigensolve, the multiply-out GEMV, the rank-m deflation
+  correction (two small MXU matmuls), and the z * ans accumulation.
+  The accumulator is carried in shifted (log-scale) form so
+  e^{lambda_max} never overflows the working dtype — the same guard the
+  action pipeline uses for the reference's documented f32 overflow
+  hazard (single_double.txt:27-31).  Exactly ONE vector crosses
+  device->host, at the end.
+- Trace probes queue asynchronously (one compiled alpha/beta program,
+  re-dispatched per probe) and are fetched with a single device_get, so
+  the testbed tunnel's host-sync RTT is paid once, not per probe.  The
+  k x k quadrature stage runs in float64 on the host, like the
+  pipeline's host-eig path (the reference eigensolves T on the CPU too,
+  parallel-final/lib/eigen.cu:13-21).
+
+The Estrada combiner works in shifted space (everything scaled by
+e^{-lambda_max}), so the index of graphs whose e^{lambda_max} overflows
+even float64 (lambda_max > ~709 — the regime where the reference's
+double pipeline printed inf/nan, final_output1.txt:154-159) still comes
+out as a finite ``log_estimate``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_lanczos.core import expmv, tridiag
+from tpu_lanczos.core.lanczos import lanczos, lanczos_alphabeta
+from tpu_lanczos.graphs.csr import CSRGraph
+
+# key index for the deflation run's start vector; probe i uses fold_in(i),
+# so keep this out of any plausible probe range
+_DEFLATE_KEY = 0x7FFFFFFF
+
+
+# ---------------------------------------------------------------- quadrature
+
+
+def gauss_quadrature(alpha, beta, x_norm_sq: float, f) -> float:
+    """k-point Gauss quadrature for z^T f(A) z from the Lanczos
+    coefficients of (A, z): ||z||^2 * sum_j V[0, j]^2 f(theta_j).
+    Host float64 (the k x k stage is tiny, as in the reference's
+    LAPACKE_dstevd split)."""
+    evals, evecs = tridiag.eigh_host(alpha, beta)
+    w = evecs[0, :] ** 2
+    return float(x_norm_sq) * float(np.dot(w, np.asarray(f(evals), np.float64)))
+
+
+def gauss_quadrature_shifted_exp(alpha, beta, x_norm_sq: float,
+                                 shift: float) -> float:
+    """e^{-shift} z^T e^A z: the quadrature evaluated as
+    ||z||^2 * sum_j V[0, j]^2 e^{theta_j - shift}, finite for any
+    spectrum when ``shift`` ~ lambda_max."""
+    evals, evecs = tridiag.eigh_host(alpha, beta)
+    w = evecs[0, :] ** 2
+    return float(x_norm_sq) * float(np.dot(w, np.exp(evals - shift)))
+
+
+def gauss_quadrature_logexp(alpha, beta, x_norm_sq: float) -> float:
+    """log(z^T e^A z) evaluated without forming e^{theta_j}: logsumexp of
+    (2 log|V[0, j]| + theta_j) + log ||z||^2.  Finite even when
+    e^{lambda_max} overflows float64."""
+    from scipy.special import logsumexp
+
+    evals, evecs = tridiag.eigh_host(alpha, beta)
+    with np.errstate(divide="ignore"):  # V[0, j] == 0 -> -inf term, dropped
+        logw = 2.0 * np.log(np.abs(evecs[0, :]))
+    return float(logsumexp(logw + evals) + np.log(float(x_norm_sq)))
+
+
+# ------------------------------------------------------------------- probes
+
+
+@jax.jit
+def _masked_rademacher(mask: jnp.ndarray, key) -> jnp.ndarray:
+    """On-device Rademacher probe: +-1 on the pack's real cells, 0 on
+    padding (so the SpMV and the quadrature only see the true graph)."""
+    return mask * jax.random.rademacher(key, mask.shape, dtype=mask.dtype)
+
+
+@jax.jit
+def _defl_coeffs(u_rows: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+    """Per-probe deflation coefficients c_j = u_j . z  (m,)."""
+    return u_rows @ z
+
+
+def _probe_stats(dg, mask, k: int, probes: int, seed: int, spmv_impl: str,
+                 u_rows=None):
+    """Queue all trace probes asynchronously; ONE host sync at the end.
+    Returns a list of (alpha, beta, x_norm, c) numpy tuples (c is None
+    without deflation).
+
+    Probes are fetched in chunks of 8: deep async queues of many small
+    programs were observed to trigger a transient NaN race on the
+    experimental axon TPU backend (the SAME program with the SAME inputs
+    returned NaN twice, then the correct value — a backend-level fault,
+    not a numerical one; see docs/DESIGN.md round-4 estimator section).
+    Chunking bounds the in-flight depth while still amortizing the
+    host-sync RTT 8x.  Probes whose fetched coefficients are non-finite
+    anyway are dropped with a warning; the estimator stays unbiased on
+    the surviving probes."""
+    base = jax.random.key(seed)
+    got = []
+    for i0 in range(0, probes, 8):
+        pending = []
+        for i in range(i0, min(i0 + 8, probes)):
+            z = _masked_rademacher(mask, jax.random.fold_in(base, i))
+            alpha, beta, x_norm = lanczos_alphabeta(dg, z, k,
+                                                    spmv_impl=spmv_impl)
+            c = None if u_rows is None else _defl_coeffs(u_rows, z)
+            pending.append((alpha, beta, x_norm, c))
+        got.extend(jax.device_get(pending))
+    kept = [t for t in got
+            if np.isfinite(t[0]).all() and np.isfinite(t[1]).all()
+            and np.isfinite(t[2])
+            and (t[3] is None or np.isfinite(t[3]).all())]
+    if len(kept) < len(got):
+        import warnings
+
+        warnings.warn(
+            f"dropped {len(got) - len(kept)}/{len(got)} probes with "
+            "non-finite Lanczos coefficients (transient device fault?)",
+            stacklevel=3,
+        )
+    if not kept:
+        raise RuntimeError(
+            "every stochastic probe returned non-finite Lanczos "
+            "coefficients — device state is suspect, re-run"
+        )
+    return kept
+
+
+# ----------------------------------------------------------------- deflation
+
+
+@dataclasses.dataclass
+class _Deflation:
+    theta: np.ndarray      # (m,) top Ritz values, descending
+    u_rows: jnp.ndarray    # (m, n_pad) Ritz vectors as device rows
+    u_norm_sq: np.ndarray  # (m,) ||u_j||^2 (host; ~1 when converged)
+    shift: float           # lambda_max Ritz estimate (scaled-space anchor)
+
+
+def _deflation_pairs(dg, mask, m: int, dtype, seed: int, spmv_impl: str,
+                     resid_rtol: float = 1e-2) -> _Deflation | None:
+    """Top-m (approximately) converged Ritz pairs of A from one
+    reorthogonalized Lanczos run; u_j = V[:, j]^T Q formed on the MXU.
+    Pairs with Ritz residual ||A u - theta u|| = beta_k |V[k-1, j]| above
+    ``resid_rtol * max(|theta|, 1)`` are dropped (a loose filter is fine:
+    the estimator stays unbiased for ANY deflation basis — poor pairs
+    only reduce less variance)."""
+    n_pad = mask.shape[0]
+    k_defl = int(min(max(2 * m + 10, 30), max(n_pad - 1, 1)))
+    m = min(m, k_defl - 1)
+    if m <= 0:
+        return None
+    alpha = beta = None
+    for attempt in range(3):  # retry on the transient axon NaN fault
+        # (observed to clear after 1-2 re-executions; each device_get
+        # below is a sync barrier between attempts)
+        z0 = _masked_rademacher(
+            mask,
+            jax.random.fold_in(jax.random.key(seed),
+                               _DEFLATE_KEY - attempt),
+        )
+        state = lanczos(dg, z0, k_defl, reorthogonalize=True,
+                        spmv_impl=spmv_impl)
+        alpha, beta = jax.device_get((state.alpha, state.beta))
+        if np.isfinite(alpha).all() and np.isfinite(beta).all():
+            break
+    else:
+        import warnings
+
+        warnings.warn(
+            "deflation Lanczos returned non-finite coefficients twice — "
+            "falling back to plain (undeflated) Hutchinson",
+            stacklevel=3,
+        )
+        return None
+    evals, evecs = tridiag.eigh_host(alpha, beta[: k_defl - 1])
+    b_last = abs(float(beta[k_defl - 2])) if k_defl >= 2 else 0.0
+    idx = np.argsort(evals)[::-1][:m]
+    resid = b_last * np.abs(evecs[-1, idx])
+    keep = idx[resid <= resid_rtol * np.maximum(np.abs(evals[idx]), 1.0)]
+    if keep.size == 0:
+        return None
+    v_sel = evecs[:, keep]  # (k_defl, m_kept)
+    u_rows = jnp.asarray(v_sel.T.astype(dtype)) @ state.q_basis
+    u_norm_sq = np.asarray(
+        jax.device_get(jnp.sum(u_rows * u_rows, axis=1)), dtype=np.float64
+    )
+    return _Deflation(theta=evals[keep], u_rows=u_rows,
+                      u_norm_sq=u_norm_sq, shift=float(evals.max()))
+
+
+# -------------------------------------------------------------------- trace
+
+
+@dataclasses.dataclass
+class TraceResult:
+    """Hutchinson trace estimate.  On the Estrada path the combiner works
+    in shifted space: ``log_estimate``/``rel_stderr`` are always finite;
+    ``estimate``/``stderr`` overflow to inf past exp(~709)."""
+
+    estimate: float        # mean over probes (linear space)
+    stderr: float          # std / sqrt(probes) (linear space)
+    log_estimate: float | None  # log-space estimate (Estrada path)
+    rel_stderr: float      # stderr / estimate (finite even in log space)
+    per_probe: np.ndarray  # per-probe values (shifted-space on Estrada path)
+    probes: int
+    k: int
+    deflated: int = 0      # rank of the deflation basis actually used
+
+
+def trace_fa(
+    graph: CSRGraph,
+    f=np.exp,
+    k: int = 30,
+    probes: int = 32,
+    *,
+    seed: int = 0,
+    dtype: str | jnp.dtype = "float32",
+    fmt: str = "auto",
+    dg=None,
+    spmv_impl: str = "auto",
+    ell_pct: float = 98.0,
+) -> TraceResult:
+    """Hutchinson estimate of tr(f(A)) by ``probes`` Rademacher probes,
+    each resolved with a k-point Lanczos quadrature (one Q-free
+    alpha/beta pass per probe — O(n) device memory total).
+
+    Plain linear-space combiner for arbitrary f; use
+    :func:`estrada_index` for f = exp (overflow-safe + deflated)."""
+    from tpu_lanczos.core.pipeline import _resolve_dg, _start_vector
+
+    k = int(max(min(k, graph.n - 1), 1))
+    if dg is None:
+        dg = _resolve_dg(graph, fmt, ell_pct)
+    mask = _start_vector(dg, graph, jnp.dtype(dtype), None)
+    vals = np.array([
+        gauss_quadrature(a, b[: k - 1], float(xn) ** 2, f)
+        for a, b, xn, _ in _probe_stats(dg, mask, k, probes, seed, spmv_impl)
+    ])
+    n_used = vals.size
+    est = float(vals.mean())
+    se = float(vals.std(ddof=1) / np.sqrt(n_used)) if n_used > 1 else 0.0
+    return TraceResult(estimate=est, stderr=se, log_estimate=None,
+                       rel_stderr=se / abs(est) if est else np.inf,
+                       per_probe=vals, probes=n_used, k=k)
+
+
+def estrada_index(
+    graph: CSRGraph,
+    k: int = 30,
+    probes: int = 32,
+    *,
+    deflate: int = 8,
+    seed: int = 0,
+    dtype: str | jnp.dtype = "float32",
+    fmt: str = "auto",
+    dg=None,
+    spmv_impl: str = "auto",
+    ell_pct: float = 98.0,
+) -> TraceResult:
+    """Estrada index EE(G) = tr(e^A) = sum_i e^{lambda_i}, estimated by
+    deflated Hutchinson probing with per-probe Gauss quadrature.
+
+    ``deflate=m`` subtracts the top-m Ritz part of e^A deterministically
+    and probes only the residual — on hub (power-law) graphs this is the
+    difference between O(1) and O(1e-2..1e-3) relative stderr at the
+    same probe count, because e^A's Hutchinson variance lives almost
+    entirely in the top rays.  All arithmetic is shifted by the
+    lambda_max Ritz estimate, so ``log_estimate`` is finite for any
+    graph; ``estimate`` is the linear value when representable."""
+    from tpu_lanczos.core.pipeline import _resolve_dg, _start_vector
+
+    k = int(max(min(k, graph.n - 1), 1))
+    if dg is None:
+        dg = _resolve_dg(graph, fmt, ell_pct)
+    mask = _start_vector(dg, graph, jnp.dtype(dtype), None)
+
+    defl = (_deflation_pairs(dg, mask, deflate, jnp.dtype(dtype), seed,
+                             spmv_impl) if deflate > 0 else None)
+    if defl is None:
+        # plain log-space combiner (logsumexp per probe)
+        logs = np.array([
+            gauss_quadrature_logexp(a, b[: k - 1], float(xn) ** 2)
+            for a, b, xn, _ in _probe_stats(dg, mask, k, probes, seed,
+                                            spmv_impl)
+        ])
+        n_used = logs.size
+        lmax = float(logs.max())
+        u = np.exp(logs - lmax)
+        mean_u = float(u.mean())
+        se_u = (float(u.std(ddof=1) / np.sqrt(n_used))
+                if n_used > 1 else 0.0)
+        log_est = lmax + float(np.log(mean_u))
+        with np.errstate(over="ignore"):
+            return TraceResult(
+                estimate=float(np.exp(log_est)),
+                stderr=float(se_u * np.exp(lmax)),
+                log_estimate=log_est,
+                rel_stderr=se_u / mean_u if mean_u else np.inf,
+                per_probe=logs, probes=n_used, k=k, deflated=0,
+            )
+
+    s = defl.shift
+    w_defl = np.exp(defl.theta - s)  # (m,) in (0, 1]
+    tr_m = float(np.dot(w_defl, defl.u_norm_sq))  # e^{-s} tr(M)
+    stats = _probe_stats(dg, mask, k, probes, seed, spmv_impl,
+                         u_rows=defl.u_rows)
+    vals = np.array([
+        gauss_quadrature_shifted_exp(a, b[: k - 1], float(xn) ** 2, s)
+        - float(np.dot(w_defl, np.asarray(c, np.float64) ** 2))
+        for a, b, xn, c in stats
+    ])  # e^{-s} (z^T e^A z - z^T M z) per probe
+    n_used = vals.size
+    mean_r = float(vals.mean())
+    se_r = float(vals.std(ddof=1) / np.sqrt(n_used)) if n_used > 1 else 0.0
+    est_scaled = tr_m + mean_r
+    log_est = (s + float(np.log(est_scaled)) if est_scaled > 0
+               else -np.inf)
+    with np.errstate(over="ignore"):
+        return TraceResult(
+            estimate=float(np.exp(log_est)),
+            stderr=float(se_r * np.exp(s)),
+            log_estimate=log_est,
+            rel_stderr=se_r / est_scaled if est_scaled > 0 else np.inf,
+            per_probe=vals, probes=n_used, k=k,
+            deflated=int(defl.theta.size),
+        )
+
+
+# ----------------------------------------------------------------- diagonal
+
+
+@dataclasses.dataclass
+class DiagResult:
+    """Hutchinson diagonal estimate, carried in shifted form:
+    true diag ~= diag_scaled * exp(log_scale)."""
+
+    diag_scaled: np.ndarray  # (n,)
+    log_scale: float
+    probes: int
+    k: int
+    deflated: int = 0
+
+    def full_diag(self) -> np.ndarray:
+        """Linear-space estimate (overflows past exp(~88) in f32 — use
+        ``diag_scaled``/``log_scale`` directly for ranking at scale)."""
+        return self.diag_scaled * np.exp(self.log_scale)
+
+    def top_nodes(self, topk: int = 10) -> np.ndarray:
+        """Node ids ranked by estimated centrality (shift-invariant)."""
+        return np.argsort(self.diag_scaled)[::-1][:topk]
+
+
+@partial(jax.jit, static_argnames=("k", "probes", "spmv_impl"))
+def _diag_probes_device(dg, mask: jnp.ndarray, key, k: int, probes: int,
+                        spmv_impl: str, u_rows, w_defl, shift):
+    """All diagonal probes in ONE device program: fori_loop over probes,
+    each a k-step Lanczos + on-device tridiagonal eigensolve +
+    multiply-out + rank-m deflation correction + z * ans accumulation,
+    everything in e^{-shift}-scaled space.  ``u_rows``/``w_defl`` may be
+    zero-rank (shape (0, n_pad)/(0,)) for the undeflated path."""
+    dtype = mask.dtype
+
+    def body(i, acc):
+        z = _masked_rademacher(mask, jax.random.fold_in(key, i))
+        state = lanczos(dg, z, k, spmv_impl=spmv_impl)
+        ans_scaled, sh = expmv.multiply_out(state, log_scale=True)
+        ans_s = ans_scaled * jnp.exp(sh - shift)
+        ans_s = ans_s - (w_defl * (u_rows @ z)) @ u_rows  # subtract M z
+        return acc + z * ans_s
+
+    acc = jax.lax.fori_loop(0, probes, body, jnp.zeros_like(mask))
+    diag_m = jnp.einsum("m,mn->n", w_defl, u_rows * u_rows)
+    return diag_m + acc / probes
+
+
+def subgraph_centrality(
+    graph: CSRGraph,
+    k: int = 20,
+    probes: int = 16,
+    *,
+    deflate: int = 8,
+    seed: int = 0,
+    dtype: str | jnp.dtype = "float32",
+    fmt: str = "auto",
+    dg=None,
+    spmv_impl: str = "auto",
+    ell_pct: float = 98.0,
+) -> DiagResult:
+    """Estrada-Rodriguez-Velazquez subgraph centrality diag(e^A),
+    estimated for EVERY node at once by ``probes`` Hutchinson probes
+    (each one e^A z action), with the top-``deflate`` Ritz part computed
+    deterministically.  The whole probe loop is one jitted device
+    program; one vector crosses device->host.
+
+    The per-node noise is O(1/sqrt(probes)) of the node's OFF-diagonal
+    residual communicability — deflation removes the top-ray part of it,
+    which is what dominates on hub graphs."""
+    from tpu_lanczos.core.pipeline import _resolve_dg, _start_vector
+
+    k = int(max(min(k, graph.n - 1), 1))
+    if dg is None:
+        dg = _resolve_dg(graph, fmt, ell_pct)
+    dt = jnp.dtype(dtype)
+    mask = _start_vector(dg, graph, dt, None)
+    n_pad = mask.shape[0]
+
+    defl = (_deflation_pairs(dg, mask, deflate, dt, seed, spmv_impl)
+            if deflate > 0 else None)
+    if defl is not None:
+        u_rows = defl.u_rows
+        w_defl = jnp.asarray(np.exp(defl.theta - defl.shift).astype(dt))
+        shift = defl.shift
+        m_used = int(defl.theta.size)
+    else:
+        u_rows = jnp.zeros((0, n_pad), dtype=dt)
+        w_defl = jnp.zeros((0,), dtype=dt)
+        # anchor the scale at the lambda_max Ritz estimate from a cheap
+        # alpha/beta pass so the scaled accumulator stays representable
+        a0, b0, _ = jax.device_get(lanczos_alphabeta(
+            dg, mask, min(max(k, 10), max(n_pad - 1, 1)),
+            spmv_impl=spmv_impl))
+        shift = float(tridiag.eigh_host(a0, b0[:-1])[0].max())
+        m_used = 0
+
+    acc_h = None
+    for attempt in range(2):  # retry once on a transient device fault
+        acc = _diag_probes_device(
+            dg, mask, jax.random.fold_in(jax.random.key(seed), attempt),
+            k, probes, spmv_impl, u_rows, w_defl,
+            jnp.asarray(shift, dtype=dt),
+        )
+        acc_h = np.asarray(jax.device_get(acc))
+        if np.isfinite(acc_h).all():
+            break
+    else:
+        raise RuntimeError(
+            "diagonal estimator returned non-finite values twice — "
+            "device state is suspect, re-run"
+        )
+    return DiagResult(
+        diag_scaled=dg.permute_out(acc_h),
+        log_scale=float(shift),
+        probes=probes,
+        k=k,
+        deflated=m_used,
+    )

@@ -130,6 +130,30 @@ def expm_action_dense(graph: CSRGraph, x: np.ndarray) -> np.ndarray:
     return evecs @ (np.exp(evals) * (evecs.T @ np.asarray(x, dtype=np.float64)))
 
 
+def trace_expm_dense(graph: CSRGraph) -> float:
+    """Ground-truth Estrada index tr(e^A) = sum_i e^{lambda_i} by dense
+    eigendecomposition (small graphs only) — oracle for the stochastic
+    trace estimator (core/stochastic.py)."""
+    evals = np.linalg.eigvalsh(graph.to_scipy().toarray())
+    return float(np.exp(evals).sum())
+
+
+def diag_expm_dense(graph: CSRGraph) -> np.ndarray:
+    """Ground-truth subgraph centrality diag(e^A) by dense
+    eigendecomposition (small graphs only) — oracle for the stochastic
+    diagonal estimator (core/stochastic.py)."""
+    evals, evecs = np.linalg.eigh(graph.to_scipy().toarray())
+    return (evecs**2) @ np.exp(evals)
+
+
+def quadrature_dense(graph: CSRGraph, z: np.ndarray, f) -> float:
+    """Ground truth for one probe's bilinear form z^T f(A) z by dense
+    eigendecomposition — oracle for the Gauss-quadrature rule."""
+    evals, evecs = np.linalg.eigh(graph.to_scipy().toarray())
+    w = evecs.T @ np.asarray(z, dtype=np.float64)
+    return float(np.dot(w**2, np.asarray(f(evals), dtype=np.float64)))
+
+
 def rel_error(ans: np.ndarray, ref: np.ndarray) -> float:
     """Relative norm of difference (reference: check_ans,
     parallel-final/lib/check_ans.cu:11-29)."""

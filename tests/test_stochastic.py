@@ -120,6 +120,28 @@ def test_subgraph_centrality_plain_runs(ba200, diag_true):
     assert np.corrcoef(dr.full_diag(), diag_true)[0, 1] > 0.5
 
 
+def test_spectral_density_vs_dense(ba200):
+    r = stochastic.spectral_density(ba200, k=60, probes=32, seed=0,
+                                    dtype="float64")
+    d_true = oracle.dos_dense(ba200, r.grid, r.sigma)
+    # mass-1 normalization and closeness to the dense-blurred truth
+    assert abs(np.trapezoid(r.density, r.grid) - 1.0) < 1e-3
+    assert np.trapezoid(np.abs(r.density - d_true), r.grid) < 0.1
+    # extreme Ritz nodes converge to the true spectral edges
+    ev = np.linalg.eigvalsh(ba200.to_scipy().toarray())
+    assert abs(r.lambda_max - ev[-1]) / abs(ev[-1]) < 1e-10
+    assert abs(r.lambda_min - ev[0]) / abs(ev[0]) < 1e-6
+
+
+def test_spectral_density_custom_grid(ba200):
+    grid = np.linspace(-5, 10, 64)
+    r = stochastic.spectral_density(ba200, k=40, probes=8, seed=1,
+                                    grid=grid, sigma=0.5, dtype="float64")
+    assert r.grid.shape == (64,)
+    assert r.sigma == 0.5
+    assert np.all(r.density >= 0)
+
+
 def test_diag_trace_consistency(ba200, tr_true):
     # sum of the diagonal estimate is itself a trace estimate
     dr = stochastic.subgraph_centrality(ba200, k=30, probes=32, deflate=8,

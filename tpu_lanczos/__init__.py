@@ -37,9 +37,11 @@ from tpu_lanczos.core.pipeline import (
 from tpu_lanczos.core.stochastic import (
     estrada_index,
     subgraph_centrality,
+    spectral_density,
     trace_fa,
     TraceResult,
     DiagResult,
+    DOSResult,
 )
 from tpu_lanczos.config import Config
 
@@ -61,8 +63,10 @@ __all__ = [
     "LanczosResult",
     "estrada_index",
     "subgraph_centrality",
+    "spectral_density",
     "trace_fa",
     "TraceResult",
     "DiagResult",
+    "DOSResult",
     "Config",
 ]

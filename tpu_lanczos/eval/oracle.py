@@ -154,6 +154,16 @@ def quadrature_dense(graph: CSRGraph, z: np.ndarray, f) -> float:
     return float(np.dot(w**2, np.asarray(f(evals), dtype=np.float64)))
 
 
+def dos_dense(graph: CSRGraph, grid: np.ndarray, sigma: float) -> np.ndarray:
+    """Ground-truth Gaussian-smoothed spectral density by dense
+    eigendecomposition (small graphs only) — oracle for the stochastic
+    Lanczos-quadrature DOS (core/stochastic.py spectral_density)."""
+    evals = np.linalg.eigvalsh(graph.to_scipy().toarray())
+    g = np.asarray(grid, dtype=np.float64)
+    d = np.exp(-((g[:, None] - evals[None, :]) ** 2) / (2 * sigma**2)).sum(1)
+    return d / (np.sqrt(2 * np.pi) * sigma * evals.size)
+
+
 def rel_error(ans: np.ndarray, ref: np.ndarray) -> float:
     """Relative norm of difference (reference: check_ans,
     parallel-final/lib/check_ans.cu:11-29)."""

@@ -252,3 +252,26 @@ def test_cli_pipeline_flag_rejects_df64():
     rc = main(["-n", "300", "-e", "900", "-k", "10", "--dtype", "df64",
                "--pipeline", "2"])
     assert rc == 2
+
+
+def test_cli_estrada_subgraph(capsys):
+    from tpu_lanczos.cli.main import main
+
+    rc = main(["-n", "500", "-b", "3", "-k", "40", "--dtype", "float64",
+               "--estrada", "32", "--subgraph", "32"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Estrada index" in out and "subgraph centrality" in out
+    # the CLI cross-checks against the dense oracle for n <= 4000
+    rel = float(out.split("rel err ")[1].split("\n")[0])
+    assert rel < 5e-2  # deflated estimator at 32 probes (seeded)
+    assert "top-1 match: True" in out
+
+
+def test_cli_estrada_flag_guards(capsys):
+    from tpu_lanczos.cli.main import main
+
+    assert main(["-n", "200", "-e", "600", "--estrada", "8",
+                 "--topk", "5"]) == 2
+    assert main(["-n", "200", "-e", "600", "--subgraph", "8",
+                 "--ks", "5,10"]) == 2

@@ -190,15 +190,20 @@ class _Deflation:
 
 
 def _deflation_pairs(dg, mask, m: int, dtype, seed: int, spmv_impl: str,
-                     resid_rtol: float = 1e-2) -> _Deflation | None:
+                     resid_rtol: float = 1e-2,
+                     k_defl: int | None = None) -> _Deflation | None:
     """Top-m (approximately) converged Ritz pairs of A from one
     reorthogonalized Lanczos run; u_j = V[:, j]^T Q formed on the MXU.
     Pairs with Ritz residual ||A u - theta u|| = beta_k |V[k-1, j]| above
     ``resid_rtol * max(|theta|, 1)`` are dropped (a loose filter is fine:
     the estimator stays unbiased for ANY deflation basis — poor pairs
-    only reduce less variance)."""
+    only reduce less variance).  ``k_defl`` (default 2m+10, min 30)
+    controls how many Lanczos steps feed the Ritz extraction — deeper
+    runs converge more (clustered) pairs at one extra pass's cost."""
     n_pad = mask.shape[0]
-    k_defl = int(min(max(2 * m + 10, 30), max(n_pad - 1, 1)))
+    if k_defl is None:
+        k_defl = max(2 * m + 10, 30)
+    k_defl = int(min(k_defl, max(n_pad - 1, 1)))
     m = min(m, k_defl - 1)
     if m <= 0:
         return None
@@ -303,6 +308,7 @@ def estrada_index(
     probes: int = 32,
     *,
     deflate: int = 8,
+    k_deflate: int | None = None,
     seed: int = 0,
     dtype: str | jnp.dtype = "float32",
     fmt: str = "auto",
@@ -328,7 +334,8 @@ def estrada_index(
     mask = _start_vector(dg, graph, jnp.dtype(dtype), None)
 
     defl = (_deflation_pairs(dg, mask, deflate, jnp.dtype(dtype), seed,
-                             spmv_impl) if deflate > 0 else None)
+                             spmv_impl, k_defl=k_deflate)
+            if deflate > 0 else None)
     if defl is None:
         # plain log-space combiner (logsumexp per probe)
         logs = np.array([
@@ -506,6 +513,7 @@ def subgraph_centrality(
     probes: int = 16,
     *,
     deflate: int = 8,
+    k_deflate: int | None = None,
     seed: int = 0,
     dtype: str | jnp.dtype = "float32",
     fmt: str = "auto",
@@ -531,7 +539,8 @@ def subgraph_centrality(
     mask = _start_vector(dg, graph, dt, None)
     n_pad = mask.shape[0]
 
-    defl = (_deflation_pairs(dg, mask, deflate, dt, seed, spmv_impl)
+    defl = (_deflation_pairs(dg, mask, deflate, dt, seed, spmv_impl,
+                             k_defl=k_deflate)
             if deflate > 0 else None)
     if defl is not None:
         u_rows = defl.u_rows

@@ -38,20 +38,22 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def load_graph():
+def load_graph(n=N, m=M, seed=SEED):
+    """Cached native-RNG BA graph (also reused by eval/stochastic_bench
+    so every hardware record refers to the same flagship graph)."""
     from tpu_lanczos.graphs.csr import CSRGraph
 
     os.makedirs(CACHE, exist_ok=True)
     # cache key includes the generator implementation: the native RNG
     # stream differs from numpy's, so the two are distinct graphs
-    p = os.path.join(CACHE, f"ba_{N}_{M}_{SEED}_native.npz")
+    p = os.path.join(CACHE, f"ba_{n}_{m}_{seed}_native.npz")
     if os.path.exists(p):
         z = np.load(p)
         return CSRGraph(indptr=z["indptr"], indices=z["indices"], n=int(z["n"]))
     from tpu_lanczos.graphs import generators
 
     t0 = time.time()
-    g = generators.barabasi_albert(N, M, seed=SEED, use_native=True)
+    g = generators.barabasi_albert(n, m, seed=seed, use_native=True)
     log(f"generated BA graph (native) in {time.time()-t0:.1f}s (nnz={g.nnz})")
     np.savez(p, indptr=g.indptr, indices=g.indices, n=g.n)
     return g

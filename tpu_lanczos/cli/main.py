@@ -167,12 +167,22 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
-    if args.dtype == "float64":
-        # f64 parity runs (CPU backend): without x64, jnp silently
-        # truncates every array to f32
-        import jax
+    if args.dtype != "float64":
+        return _main(args)
+    # f64 parity runs (CPU backend): without x64, jnp silently truncates
+    # every array to f32.  Restored afterwards so in-process callers
+    # (tests, notebooks) don't inherit a process-global x64 flip.
+    import jax
 
-        jax.config.update("jax_enable_x64", True)
+    prev_x64 = bool(jax.config.jax_enable_x64)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        return _main(args)
+    finally:
+        jax.config.update("jax_enable_x64", prev_x64)
+
+
+def _main(args) -> int:
     from tpu_lanczos.utils import enable_compile_cache, enable_heap_reuse
 
     enable_compile_cache()
@@ -191,10 +201,10 @@ def main(argv=None) -> int:
     if args.ks:
         if (args.shards or args.topk or args.low_mem
                 or args.func != "exp" or args.reorthogonalize
-                or args.estrada or args.subgraph):
+                or args.estrada or args.subgraph or args.pipeline):
             print("error: --ks runs the single-chip exp pipeline (no "
                   "--shards/--topk/--low-mem/--func/--reorthogonalize/"
-                  "--estrada/--subgraph)", file=sys.stderr)
+                  "--estrada/--subgraph/--pipeline)", file=sys.stderr)
             return 2
         ks = [int(s) for s in args.ks.split(",")]
         t0 = time.time()
@@ -234,10 +244,10 @@ def main(argv=None) -> int:
     if args.estrada or args.subgraph:
         if (args.shards or args.topk or args.low_mem or args.func != "exp"
                 or args.dtype == "df64" or args.reorthogonalize
-                or args.ks):
+                or args.ks or args.pipeline):
             print("error: --estrada/--subgraph run the single-chip f32/f64 "
                   "exp pipeline (no --shards/--topk/--low-mem/--func/df64/"
-                  "--reorthogonalize/--ks)", file=sys.stderr)
+                  "--reorthogonalize/--ks/--pipeline)", file=sys.stderr)
             return 2
         from tpu_lanczos.core import stochastic
         from tpu_lanczos.core.pipeline import _resolve_dg
@@ -292,10 +302,11 @@ def main(argv=None) -> int:
     if fa is not None:
         f, label = fa
         if (args.shards or args.topk or args.low_mem
-                or args.dtype == "df64" or args.log_scale):
+                or args.dtype == "df64" or args.log_scale
+                or args.pipeline):
             print("error: --func runs the single-chip host-eig pipeline "
-                  "(no --shards/--topk/--low-mem/df64/--log-scale)",
-                  file=sys.stderr)
+                  "(no --shards/--topk/--low-mem/df64/--log-scale/"
+                  "--pipeline)", file=sys.stderr)
             return 2
         ans_serial_f = None
         if not args.no_serial:

@@ -73,7 +73,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_lanczos.core import expmv, tridiag
-from tpu_lanczos.core.lanczos import lanczos, lanczos_alphabeta
+from tpu_lanczos.core.lanczos import (
+    lanczos,
+    lanczos_alphabeta,
+    lanczos_init,
+    lanczos_range,
+)
 from tpu_lanczos.graphs.csr import CSRGraph
 
 # key index for the deflation run's start vector; probe i uses fold_in(i),
@@ -96,12 +101,10 @@ def gauss_quadrature(alpha, beta, x_norm_sq: float, f) -> float:
 
 def gauss_quadrature_shifted_exp(alpha, beta, x_norm_sq: float,
                                  shift: float) -> float:
-    """e^{-shift} z^T e^A z: the quadrature evaluated as
-    ||z||^2 * sum_j V[0, j]^2 e^{theta_j - shift}, finite for any
-    spectrum when ``shift`` ~ lambda_max."""
-    evals, evecs = tridiag.eigh_host(alpha, beta)
-    w = evecs[0, :] ** 2
-    return float(x_norm_sq) * float(np.dot(w, np.exp(evals - shift)))
+    """e^{-shift} z^T e^A z — the quadrature at f(ev) = e^{ev - shift},
+    finite for any spectrum when ``shift`` ~ lambda_max."""
+    return gauss_quadrature(alpha, beta, x_norm_sq,
+                            lambda ev: np.exp(ev - shift))
 
 
 def gauss_quadrature_logexp(alpha, beta, x_norm_sq: float) -> float:
@@ -207,7 +210,7 @@ def _deflation_pairs(dg, mask, m: int, dtype, seed: int, spmv_impl: str,
     m = min(m, k_defl - 1)
     if m <= 0:
         return None
-    alpha = beta = None
+    alpha = beta = q_basis = None
     for attempt in range(3):  # retry on the transient axon NaN fault
         # (observed to clear after 1-2 re-executions; each device_get
         # below is a sync barrier between attempts)
@@ -216,9 +219,15 @@ def _deflation_pairs(dg, mask, m: int, dtype, seed: int, spmv_impl: str,
             jax.random.fold_in(jax.random.key(seed),
                                _DEFLATE_KEY - attempt),
         )
-        state = lanczos(dg, z0, k_defl, reorthogonalize=True,
-                        spmv_impl=spmv_impl)
-        alpha, beta = jax.device_get((state.alpha, state.beta))
+        # lanczos_init + lanczos_range instead of lanczos(): the range
+        # carry keeps the FULL (k,) beta whose last slot is the true
+        # residual norm beta_k (lanczos() discards it, slicing to k-1)
+        carry, _ = lanczos_init(dg, z0, k_defl)
+        _, _, q_basis, alpha_d, beta_d = lanczos_range(
+            dg, carry, 0, k_defl, reorthogonalize=True,
+            spmv_impl=spmv_impl,
+        )
+        alpha, beta = jax.device_get((alpha_d, beta_d))
         if np.isfinite(alpha).all() and np.isfinite(beta).all():
             break
     else:
@@ -231,14 +240,14 @@ def _deflation_pairs(dg, mask, m: int, dtype, seed: int, spmv_impl: str,
         )
         return None
     evals, evecs = tridiag.eigh_host(alpha, beta[: k_defl - 1])
-    b_last = abs(float(beta[k_defl - 2])) if k_defl >= 2 else 0.0
+    b_last = abs(float(beta[k_defl - 1]))  # residual norm beta_k
     idx = np.argsort(evals)[::-1][:m]
     resid = b_last * np.abs(evecs[-1, idx])
     keep = idx[resid <= resid_rtol * np.maximum(np.abs(evals[idx]), 1.0)]
     if keep.size == 0:
         return None
     v_sel = evecs[:, keep]  # (k_defl, m_kept)
-    u_rows = jnp.asarray(v_sel.T.astype(dtype)) @ state.q_basis
+    u_rows = jnp.asarray(v_sel.T.astype(dtype)) @ q_basis
     u_norm_sq = np.asarray(
         jax.device_get(jnp.sum(u_rows * u_rows, axis=1)), dtype=np.float64
     )
@@ -259,7 +268,11 @@ class TraceResult:
     stderr: float          # std / sqrt(probes) (linear space)
     log_estimate: float | None  # log-space estimate (Estrada path)
     rel_stderr: float      # stderr / estimate (finite even in log space)
-    per_probe: np.ndarray  # per-probe values (shifted-space on Estrada path)
+    # per-probe values; their meaning depends on the path that produced
+    # them: raw quadrature values tau_i (trace_fa), log(z^T e^A z)
+    # (estrada, deflate=0), or the e^{-s}-scaled deflated residuals
+    # tau_i~ - c_i~ — possibly negative — (estrada, deflate>0)
+    per_probe: np.ndarray
     probes: int
     k: int
     deflated: int = 0      # rank of the deflation basis actually used
@@ -438,7 +451,9 @@ def spectral_density(
         dg = _resolve_dg(graph, fmt, ell_pct)
     mask = _start_vector(dg, graph, jnp.dtype(dtype), None)
     nodes, weights = [], []
-    for a, b, xn, _ in _probe_stats(dg, mask, k, probes, seed, spmv_impl):
+    stats = _probe_stats(dg, mask, k, probes, seed, spmv_impl)
+    probes = len(stats)  # survivors (non-finite probes are dropped)
+    for a, b, xn, _ in stats:
         evals, evecs = tridiag.eigh_host(a, b[: k - 1])
         nodes.append(evals)
         weights.append(float(xn) ** 2 * evecs[0, :] ** 2)

@@ -35,21 +35,13 @@ def log(*a):
 
 
 def load_graph(n: int, m: int):
-    """Same cache convention as bench.py (the native-RNG BA flagship)."""
-    from tpu_lanczos.graphs.csr import CSRGraph
+    """Delegates to bench.py's cached loader so the hardware records here
+    always refer to the exact flagship graph the headline bench times."""
+    if ROOT not in sys.path:
+        sys.path.insert(0, ROOT)
+    import bench
 
-    cache = os.path.join(ROOT, ".bench_cache")
-    os.makedirs(cache, exist_ok=True)
-    p = os.path.join(cache, f"ba_{n}_{m}_0_native.npz")
-    if os.path.exists(p):
-        z = np.load(p)
-        return CSRGraph(indptr=z["indptr"], indices=z["indices"],
-                        n=int(z["n"]))
-    from tpu_lanczos.graphs import generators
-
-    g = generators.barabasi_albert(n, m, seed=0, use_native=True)
-    np.savez(p, indptr=g.indptr, indices=g.indices, n=g.n)
-    return g
+    return bench.load_graph(n, m, seed=0)
 
 
 def main():

@@ -79,6 +79,7 @@ def main():
             k=r.k, probes=r.probes, deflate_requested=deflate,
             deflate_used=r.deflated, log_estimate=r.log_estimate,
             rel_stderr=r.rel_stderr, wall_s=round(wall, 4),
+            resid_filter="beta_k",  # corrected true-residual filter
         ))
     # disjoint-seed agreement in scaled space
     ra, rb = runs["a"], runs["b"]

@@ -147,3 +147,80 @@ def test_diag_trace_consistency(ba200, tr_true):
     dr = stochastic.subgraph_centrality(ba200, k=30, probes=32, deflate=8,
                                         seed=0, dtype="float64")
     assert abs(dr.full_diag().sum() - tr_true) / tr_true < 0.02
+
+
+# ---------------------------------------------------------------- sharded
+
+
+def test_estrada_sharded_vs_dense(ba200, tr_true):
+    import tpu_lanczos as tl
+    from tpu_lanczos.dist.mesh import make_mesh
+
+    mesh = make_mesh(4)
+    r = tl.estrada_index_sharded(ba200, k=40, probes=32, mesh=mesh,
+                                 dtype="float64")
+    assert r.deflated > 0
+    # deflated mesh estimator matches the dense truth like the
+    # single-chip one (the probes differ — the sharded pack permutes
+    # vertices — so compare to truth, not to the single-chip estimate)
+    assert abs(r.estimate - tr_true) / tr_true < 5e-3
+    assert r.rel_stderr < 2e-2
+
+
+def test_estrada_sharded_plain(ba200, tr_true):
+    import tpu_lanczos as tl
+    from tpu_lanczos.dist.mesh import make_mesh
+
+    r = tl.estrada_index_sharded(ba200, k=40, probes=32, mesh=make_mesh(4),
+                                 deflate=0, dtype="float64")
+    assert r.deflated == 0
+    assert abs(r.estimate - tr_true) / tr_true < 0.5  # plain = noisy
+    assert np.isfinite(r.log_estimate)
+
+
+def test_subgraph_sharded_vs_dense(ba200, diag_true):
+    import tpu_lanczos as tl
+    from tpu_lanczos.dist.mesh import make_mesh
+
+    dr = tl.subgraph_centrality_sharded(ba200, k=30, probes=32,
+                                        mesh=make_mesh(4), dtype="float64")
+    d_est = dr.full_diag()
+    assert dr.deflated > 0
+    assert d_est.shape == (ba200.n,)
+    assert np.corrcoef(d_est, diag_true)[0, 1] > 0.999
+    rel = np.linalg.norm(d_est - diag_true) / np.linalg.norm(diag_true)
+    assert rel < 0.05
+    assert int(dr.top_nodes(1)[0]) == int(np.argmax(diag_true))
+
+
+def test_alphabeta_sharded_matches_quadrature(ba200):
+    # the sharded Q-free pass must produce the same tridiagonal (up to
+    # fp reduction order) as the oracle for the same start vector
+    import jax, jax.numpy as jnp
+    import scipy.linalg
+    from tpu_lanczos.dist.mesh import ROWS, make_mesh
+    from tpu_lanczos.dist.lanczos import lanczos_alphabeta_sharded
+    from tpu_lanczos.dist.partition import pack_sharded
+
+    mesh = make_mesh(4)
+    sg = pack_sharded(ba200, 4, fmt="auto", mesh=mesh)
+    x = np.ones(ba200.n)
+    P = jax.sharding.PartitionSpec
+    x_dev = jax.device_put(
+        jnp.asarray(sg.permute_in(x, jnp.float64)),
+        jax.sharding.NamedSharding(mesh, P(ROWS)),
+    )
+    a, b, xn = jax.device_get(lanczos_alphabeta_sharded(sg, x_dev, 30, mesh))
+    dec = oracle.lanczos(ba200, x, 30)
+    # early coefficients match the oracle to reduction-order rounding;
+    # late iterations diverge legitimately (Lanczos amplifies fp noise
+    # exponentially once Ritz values converge — both runs remain valid
+    # decompositions), so the stable invariant to check across the full
+    # k is the quadrature value itself
+    assert np.allclose(a[:12], dec.alpha[:12], rtol=1e-9, atol=1e-9)
+    assert np.allclose(b[:12], dec.beta[:12], rtol=1e-9, atol=1e-9)
+    assert abs(float(xn) - dec.x_norm) < 1e-9
+    q_sharded = stochastic.gauss_quadrature(a, b[:29], float(xn) ** 2,
+                                            np.exp)
+    q_dense = oracle.quadrature_dense(ba200, x, np.exp)
+    assert abs(q_sharded - q_dense) / q_dense < 1e-8

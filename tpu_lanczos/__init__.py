@@ -36,7 +36,9 @@ from tpu_lanczos.core.pipeline import (
 )
 from tpu_lanczos.core.stochastic import (
     estrada_index,
+    estrada_index_sharded,
     subgraph_centrality,
+    subgraph_centrality_sharded,
     spectral_density,
     trace_fa,
     TraceResult,
@@ -62,7 +64,9 @@ __all__ = [
     "best_device_pack",
     "LanczosResult",
     "estrada_index",
+    "estrada_index_sharded",
     "subgraph_centrality",
+    "subgraph_centrality_sharded",
     "spectral_density",
     "trace_fa",
     "TraceResult",

@@ -135,9 +135,10 @@ def _defl_coeffs(u_rows: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
     return u_rows @ z
 
 
-def _probe_stats(dg, mask, k: int, probes: int, seed: int, spmv_impl: str,
-                 u_rows=None):
+def _probe_stats(alphabeta_fn, mask, probes: int, seed: int, u_rows=None):
     """Queue all trace probes asynchronously; ONE host sync at the end.
+    ``alphabeta_fn(z) -> (alpha, beta, x_norm)`` is the backend's Q-free
+    pass (single-chip lanczos_alphabeta or the sharded variant).
     Returns a list of (alpha, beta, x_norm, c) numpy tuples (c is None
     without deflation).
 
@@ -156,10 +157,8 @@ def _probe_stats(dg, mask, k: int, probes: int, seed: int, spmv_impl: str,
         pending = []
         for i in range(i0, min(i0 + 8, probes)):
             z = _masked_rademacher(mask, jax.random.fold_in(base, i))
-            alpha, beta, x_norm = lanczos_alphabeta(dg, z, k,
-                                                    spmv_impl=spmv_impl)
             c = None if u_rows is None else _defl_coeffs(u_rows, z)
-            pending.append((alpha, beta, x_norm, c))
+            pending.append((*alphabeta_fn(z), c))
         got.extend(jax.device_get(pending))
     kept = [t for t in got
             if np.isfinite(t[0]).all() and np.isfinite(t[1]).all()
@@ -192,55 +191,27 @@ class _Deflation:
     shift: float           # lambda_max Ritz estimate (scaled-space anchor)
 
 
-def _deflation_pairs(dg, mask, m: int, dtype, seed: int, spmv_impl: str,
-                     resid_rtol: float = 1e-2,
-                     k_defl: int | None = None) -> _Deflation | None:
-    """Top-m (approximately) converged Ritz pairs of A from one
-    reorthogonalized Lanczos run; u_j = V[:, j]^T Q formed on the MXU.
-    Pairs with Ritz residual ||A u - theta u|| = beta_k |V[k-1, j]| above
-    ``resid_rtol * max(|theta|, 1)`` are dropped (a loose filter is fine:
-    the estimator stays unbiased for ANY deflation basis — poor pairs
-    only reduce less variance).  ``k_defl`` (default 2m+10, min 30)
-    controls how many Lanczos steps feed the Ritz extraction — deeper
-    runs converge more (clustered) pairs at one extra pass's cost."""
-    n_pad = mask.shape[0]
+def _defl_depth(m: int, k_defl: int | None, n_cap: int):
+    """Resolve (k_defl, m) from the requested rank and optional depth."""
     if k_defl is None:
         k_defl = max(2 * m + 10, 30)
-    k_defl = int(min(k_defl, max(n_pad - 1, 1)))
-    m = min(m, k_defl - 1)
-    if m <= 0:
-        return None
-    alpha = beta = q_basis = None
-    for attempt in range(3):  # retry on the transient axon NaN fault
-        # (observed to clear after 1-2 re-executions; each device_get
-        # below is a sync barrier between attempts)
-        z0 = _masked_rademacher(
-            mask,
-            jax.random.fold_in(jax.random.key(seed),
-                               _DEFLATE_KEY - attempt),
-        )
-        # lanczos_init + lanczos_range instead of lanczos(): the range
-        # carry keeps the FULL (k,) beta whose last slot is the true
-        # residual norm beta_k (lanczos() discards it, slicing to k-1)
-        carry, _ = lanczos_init(dg, z0, k_defl)
-        _, _, q_basis, alpha_d, beta_d = lanczos_range(
-            dg, carry, 0, k_defl, reorthogonalize=True,
-            spmv_impl=spmv_impl,
-        )
-        alpha, beta = jax.device_get((alpha_d, beta_d))
-        if np.isfinite(alpha).all() and np.isfinite(beta).all():
-            break
-    else:
-        import warnings
+    k_defl = int(min(k_defl, max(n_cap, 1)))
+    return k_defl, min(m, k_defl - 1)
 
-        warnings.warn(
-            "deflation Lanczos returned non-finite coefficients twice — "
-            "falling back to plain (undeflated) Hutchinson",
-            stacklevel=3,
-        )
-        return None
-    evals, evecs = tridiag.eigh_host(alpha, beta[: k_defl - 1])
-    b_last = abs(float(beta[k_defl - 1]))  # residual norm beta_k
+
+def _ritz_pairs_from(alpha, beta_full, q_basis, m: int, dtype,
+                     resid_rtol: float = 1e-2) -> _Deflation | None:
+    """Select the top-m converged Ritz pairs from a reorthogonalized run
+    whose FULL (k,) beta is available (slot k-1 = residual norm beta_k),
+    and form u_j = V[:, j]^T Q on the MXU.  Pairs with Ritz residual
+    ||A u - theta u|| = beta_k |V[k-1, j]| above ``resid_rtol *
+    max(|theta|, 1)`` are dropped (a loose filter is fine: the estimator
+    stays unbiased for ANY deflation basis — poor pairs only reduce less
+    variance).  Works for a single-chip (k, n_pad) basis and a
+    column-sharded one alike (GSPMD handles the sharded matmul/psum)."""
+    k_defl = int(alpha.shape[0])
+    evals, evecs = tridiag.eigh_host(alpha, beta_full[: k_defl - 1])
+    b_last = abs(float(beta_full[k_defl - 1]))  # residual norm beta_k
     idx = np.argsort(evals)[::-1][:m]
     resid = b_last * np.abs(evecs[-1, idx])
     keep = idx[resid <= resid_rtol * np.maximum(np.abs(evals[idx]), 1.0)]
@@ -253,6 +224,51 @@ def _deflation_pairs(dg, mask, m: int, dtype, seed: int, spmv_impl: str,
     )
     return _Deflation(theta=evals[keep], u_rows=u_rows,
                       u_norm_sq=u_norm_sq, shift=float(evals.max()))
+
+
+def _deflation_warn():
+    import warnings
+
+    warnings.warn(
+        "deflation Lanczos returned non-finite coefficients repeatedly — "
+        "falling back to plain (undeflated) Hutchinson",
+        stacklevel=4,
+    )
+
+
+def _deflation_pairs(dg, mask, m: int, dtype, seed: int, spmv_impl: str,
+                     resid_rtol: float = 1e-2,
+                     k_defl: int | None = None) -> _Deflation | None:
+    """Single-chip deflation: one reorthogonalized Lanczos run (via
+    lanczos_init + lanczos_range, whose carry keeps the FULL (k,) beta
+    that lanczos() discards) feeding :func:`_ritz_pairs_from`.
+    ``k_defl`` (default 2m+10, min 30) controls extraction depth —
+    deeper runs converge more (clustered) pairs at one extra pass's
+    cost."""
+    k_defl, m = _defl_depth(m, k_defl, mask.shape[0] - 1)
+    if m <= 0:
+        return None
+    alpha = beta = q_basis = None
+    for attempt in range(3):  # retry on the transient axon NaN fault
+        # (observed to clear after 1-2 re-executions; each device_get
+        # below is a sync barrier between attempts)
+        z0 = _masked_rademacher(
+            mask,
+            jax.random.fold_in(jax.random.key(seed),
+                               _DEFLATE_KEY - attempt),
+        )
+        carry, _ = lanczos_init(dg, z0, k_defl)
+        _, _, q_basis, alpha_d, beta_d = lanczos_range(
+            dg, carry, 0, k_defl, reorthogonalize=True,
+            spmv_impl=spmv_impl,
+        )
+        alpha, beta = jax.device_get((alpha_d, beta_d))
+        if np.isfinite(alpha).all() and np.isfinite(beta).all():
+            break
+    else:
+        _deflation_warn()
+        return None
+    return _ritz_pairs_from(alpha, beta, q_basis, m, dtype, resid_rtol)
 
 
 # -------------------------------------------------------------------- trace
@@ -303,9 +319,10 @@ def trace_fa(
     if dg is None:
         dg = _resolve_dg(graph, fmt, ell_pct)
     mask = _start_vector(dg, graph, jnp.dtype(dtype), None)
+    ab = lambda z: lanczos_alphabeta(dg, z, k, spmv_impl=spmv_impl)
     vals = np.array([
         gauss_quadrature(a, b[: k - 1], float(xn) ** 2, f)
-        for a, b, xn, _ in _probe_stats(dg, mask, k, probes, seed, spmv_impl)
+        for a, b, xn, _ in _probe_stats(ab, mask, probes, seed)
     ])
     n_used = vals.size
     est = float(vals.mean())
@@ -313,6 +330,60 @@ def trace_fa(
     return TraceResult(estimate=est, stderr=se, log_estimate=None,
                        rel_stderr=se / abs(est) if est else np.inf,
                        per_probe=vals, probes=n_used, k=k)
+
+
+def _estrada_estimate(alphabeta_fn, mask, probes: int, seed: int, k: int,
+                      defl: _Deflation | None) -> TraceResult:
+    """Shared Estrada combiner (single-chip and sharded backends):
+    deflated shifted-space path when ``defl`` is given, plain log-space
+    (logsumexp per probe) otherwise."""
+    if defl is None:
+        logs = np.array([
+            gauss_quadrature_logexp(a, b[: k - 1], float(xn) ** 2)
+            for a, b, xn, _ in _probe_stats(alphabeta_fn, mask, probes,
+                                            seed)
+        ])
+        n_used = logs.size
+        lmax = float(logs.max())
+        u = np.exp(logs - lmax)
+        mean_u = float(u.mean())
+        se_u = (float(u.std(ddof=1) / np.sqrt(n_used))
+                if n_used > 1 else 0.0)
+        log_est = lmax + float(np.log(mean_u))
+        with np.errstate(over="ignore"):
+            return TraceResult(
+                estimate=float(np.exp(log_est)),
+                stderr=float(se_u * np.exp(lmax)),
+                log_estimate=log_est,
+                rel_stderr=se_u / mean_u if mean_u else np.inf,
+                per_probe=logs, probes=n_used, k=k, deflated=0,
+            )
+
+    s = defl.shift
+    w_defl = np.exp(defl.theta - s)  # (m,) in (0, 1]
+    tr_m = float(np.dot(w_defl, defl.u_norm_sq))  # e^{-s} tr(M)
+    stats = _probe_stats(alphabeta_fn, mask, probes, seed,
+                         u_rows=defl.u_rows)
+    vals = np.array([
+        gauss_quadrature_shifted_exp(a, b[: k - 1], float(xn) ** 2, s)
+        - float(np.dot(w_defl, np.asarray(c, np.float64) ** 2))
+        for a, b, xn, c in stats
+    ])  # e^{-s} (z^T e^A z - z^T M z) per probe
+    n_used = vals.size
+    mean_r = float(vals.mean())
+    se_r = float(vals.std(ddof=1) / np.sqrt(n_used)) if n_used > 1 else 0.0
+    est_scaled = tr_m + mean_r
+    log_est = (s + float(np.log(est_scaled)) if est_scaled > 0
+               else -np.inf)
+    with np.errstate(over="ignore"):
+        return TraceResult(
+            estimate=float(np.exp(log_est)),
+            stderr=float(se_r * np.exp(s)),
+            log_estimate=log_est,
+            rel_stderr=se_r / est_scaled if est_scaled > 0 else np.inf,
+            per_probe=vals, probes=n_used, k=k,
+            deflated=int(defl.theta.size),
+        )
 
 
 def estrada_index(
@@ -349,54 +420,78 @@ def estrada_index(
     defl = (_deflation_pairs(dg, mask, deflate, jnp.dtype(dtype), seed,
                              spmv_impl, k_defl=k_deflate)
             if deflate > 0 else None)
-    if defl is None:
-        # plain log-space combiner (logsumexp per probe)
-        logs = np.array([
-            gauss_quadrature_logexp(a, b[: k - 1], float(xn) ** 2)
-            for a, b, xn, _ in _probe_stats(dg, mask, k, probes, seed,
-                                            spmv_impl)
-        ])
-        n_used = logs.size
-        lmax = float(logs.max())
-        u = np.exp(logs - lmax)
-        mean_u = float(u.mean())
-        se_u = (float(u.std(ddof=1) / np.sqrt(n_used))
-                if n_used > 1 else 0.0)
-        log_est = lmax + float(np.log(mean_u))
-        with np.errstate(over="ignore"):
-            return TraceResult(
-                estimate=float(np.exp(log_est)),
-                stderr=float(se_u * np.exp(lmax)),
-                log_estimate=log_est,
-                rel_stderr=se_u / mean_u if mean_u else np.inf,
-                per_probe=logs, probes=n_used, k=k, deflated=0,
-            )
+    ab = lambda z: lanczos_alphabeta(dg, z, k, spmv_impl=spmv_impl)
+    return _estrada_estimate(ab, mask, probes, seed, k, defl)
 
-    s = defl.shift
-    w_defl = np.exp(defl.theta - s)  # (m,) in (0, 1]
-    tr_m = float(np.dot(w_defl, defl.u_norm_sq))  # e^{-s} tr(M)
-    stats = _probe_stats(dg, mask, k, probes, seed, spmv_impl,
-                         u_rows=defl.u_rows)
-    vals = np.array([
-        gauss_quadrature_shifted_exp(a, b[: k - 1], float(xn) ** 2, s)
-        - float(np.dot(w_defl, np.asarray(c, np.float64) ** 2))
-        for a, b, xn, c in stats
-    ])  # e^{-s} (z^T e^A z - z^T M z) per probe
-    n_used = vals.size
-    mean_r = float(vals.mean())
-    se_r = float(vals.std(ddof=1) / np.sqrt(n_used)) if n_used > 1 else 0.0
-    est_scaled = tr_m + mean_r
-    log_est = (s + float(np.log(est_scaled)) if est_scaled > 0
-               else -np.inf)
-    with np.errstate(over="ignore"):
-        return TraceResult(
-            estimate=float(np.exp(log_est)),
-            stderr=float(se_r * np.exp(s)),
-            log_estimate=log_est,
-            rel_stderr=se_r / est_scaled if est_scaled > 0 else np.inf,
-            per_probe=vals, probes=n_used, k=k,
-            deflated=int(defl.theta.size),
+
+def estrada_index_sharded(
+    graph,
+    k: int = 30,
+    probes: int = 32,
+    *,
+    mesh,
+    deflate: int = 8,
+    k_deflate: int | None = None,
+    seed: int = 0,
+    dtype: str | jnp.dtype = "float32",
+    fmt: str = "auto",
+) -> TraceResult:
+    """Estrada index on an N-chip row-sharded mesh: every probe is one
+    Q-free sharded alpha/beta pass (dist/lanczos.py
+    lanczos_alphabeta_sharded — psum'd dots, all_gather halo, O(n_loc)
+    memory per shard), the deflation basis lives column-sharded on the
+    mesh, and the k x k quadrature stage stays on the host exactly as in
+    the single-chip path.  ``graph`` is a CSRGraph (packed here) or a
+    pre-packed ShardedGraph; XLA sharded formats only."""
+    from tpu_lanczos.dist.lanczos import (
+        _lanczos_shmap, lanczos_alphabeta_sharded,
+    )
+    from tpu_lanczos.dist.mesh import ROWS
+    from tpu_lanczos.dist.partition import ShardedGraph, pack_sharded
+
+    n_shards = mesh.shape[ROWS]
+    if isinstance(graph, ShardedGraph):
+        sg = graph
+    else:
+        sg = pack_sharded(
+            graph, n_shards,
+            fmt="auto" if fmt in ("auto", "best") else fmt, mesh=mesh,
         )
+    dt = jnp.dtype(dtype)
+    k = int(max(min(k, sg.n - 1), 1))
+    P = jax.sharding.PartitionSpec
+    mask = jax.device_put(
+        jnp.asarray(sg.permute_in(np.ones(sg.n), dt)),
+        jax.sharding.NamedSharding(mesh, P(ROWS)),
+    )
+
+    defl = None
+    if deflate > 0:
+        k_defl, m = _defl_depth(deflate, k_deflate, sg.n - 1)
+        if m > 0:
+            alpha = beta = q_basis = None
+            for attempt in range(3):
+                z0 = _masked_rademacher(
+                    mask,
+                    jax.random.fold_in(jax.random.key(seed),
+                                       _DEFLATE_KEY - attempt),
+                )
+                alpha_d, beta_d, q_basis, _ = _lanczos_shmap(
+                    mesh, sg.ell_indices, sg.ell_degrees, sg.coo_rows,
+                    sg.coo_cols, z0, k=k_defl, n_loc=sg.n_loc,
+                    reorthogonalize=True,
+                )
+                alpha, beta = jax.device_get((alpha_d, beta_d))
+                if np.isfinite(alpha).all() and np.isfinite(beta).all():
+                    break
+            else:
+                _deflation_warn()
+                alpha = None
+            if alpha is not None:
+                defl = _ritz_pairs_from(alpha, beta, q_basis, m, dt)
+
+    ab = lambda z: lanczos_alphabeta_sharded(sg, z, k, mesh)
+    return _estrada_estimate(ab, mask, probes, seed, k, defl)
 
 
 # ----------------------------------------------------- spectral density (DOS)
@@ -451,7 +546,8 @@ def spectral_density(
         dg = _resolve_dg(graph, fmt, ell_pct)
     mask = _start_vector(dg, graph, jnp.dtype(dtype), None)
     nodes, weights = [], []
-    stats = _probe_stats(dg, mask, k, probes, seed, spmv_impl)
+    ab = lambda z: lanczos_alphabeta(dg, z, k, spmv_impl=spmv_impl)
+    stats = _probe_stats(ab, mask, probes, seed)
     probes = len(stats)  # survivors (non-finite probes are dropped)
     for a, b, xn, _ in stats:
         evals, evecs = tridiag.eigh_host(a, b[: k - 1])
@@ -590,6 +686,117 @@ def subgraph_centrality(
         )
     return DiagResult(
         diag_scaled=dg.permute_out(acc_h),
+        log_scale=float(shift),
+        probes=probes,
+        k=k,
+        deflated=m_used,
+    )
+
+
+def subgraph_centrality_sharded(
+    graph,
+    k: int = 20,
+    probes: int = 16,
+    *,
+    mesh,
+    deflate: int = 8,
+    k_deflate: int | None = None,
+    seed: int = 0,
+    dtype: str | jnp.dtype = "float32",
+    fmt: str = "auto",
+) -> DiagResult:
+    """Subgraph centrality diag(e^A) on an N-chip row-sharded mesh:
+    every probe is one sharded e^A z action (dist/lanczos.py) and the
+    z * ans accumulator stays column-sharded on the mesh (one
+    permute_out at the end).  Deflation basis and corrections ride GSPMD
+    sharded matmuls.  Unlike the single-chip fused fori_loop, probes
+    here dispatch one sharded program each — the mesh analog keeps the
+    per-probe shard_map as the compilation unit."""
+    from tpu_lanczos.dist.lanczos import _lanczos_shmap, lanczos_sharded
+    from tpu_lanczos.dist.mesh import ROWS
+    from tpu_lanczos.dist.partition import ShardedGraph, pack_sharded
+
+    n_shards = mesh.shape[ROWS]
+    if isinstance(graph, ShardedGraph):
+        sg = graph
+    else:
+        sg = pack_sharded(
+            graph, n_shards,
+            fmt="auto" if fmt in ("auto", "best") else fmt, mesh=mesh,
+        )
+    dt = jnp.dtype(dtype)
+    k = int(max(min(k, sg.n - 1), 1))
+    P = jax.sharding.PartitionSpec
+    mask = jax.device_put(
+        jnp.asarray(sg.permute_in(np.ones(sg.n), dt)),
+        jax.sharding.NamedSharding(mesh, P(ROWS)),
+    )
+
+    defl = None
+    if deflate > 0:
+        k_defl, m = _defl_depth(deflate, k_deflate, sg.n - 1)
+        if m > 0:
+            alpha = beta = q_basis = None
+            for attempt in range(3):
+                z0 = _masked_rademacher(
+                    mask,
+                    jax.random.fold_in(jax.random.key(seed),
+                                       _DEFLATE_KEY - attempt),
+                )
+                alpha_d, beta_d, q_basis, _ = _lanczos_shmap(
+                    mesh, sg.ell_indices, sg.ell_degrees, sg.coo_rows,
+                    sg.coo_cols, z0, k=k_defl, n_loc=sg.n_loc,
+                    reorthogonalize=True,
+                )
+                alpha, beta = jax.device_get((alpha_d, beta_d))
+                if np.isfinite(alpha).all() and np.isfinite(beta).all():
+                    break
+            else:
+                _deflation_warn()
+                alpha = None
+            if alpha is not None:
+                defl = _ritz_pairs_from(alpha, beta, q_basis, m, dt)
+
+    if defl is not None:
+        u_rows = defl.u_rows
+        w_defl = jnp.asarray(np.exp(defl.theta - defl.shift).astype(dt))
+        shift = defl.shift
+        m_used = int(defl.theta.size)
+    else:
+        from tpu_lanczos.dist.lanczos import lanczos_alphabeta_sharded
+
+        u_rows = w_defl = None
+        a0, b0, _ = jax.device_get(lanczos_alphabeta_sharded(
+            sg, mask, min(max(k, 10), sg.n - 1), mesh))
+        shift = float(tridiag.eigh_host(a0, b0[:-1])[0].max())
+        m_used = 0
+
+    base = jax.random.key(seed)
+    acc_h = None
+    for attempt in range(2):  # retry once on a transient device fault
+        acc = jnp.zeros_like(mask)
+        key = jax.random.fold_in(base, attempt)
+        for i in range(probes):
+            z = _masked_rademacher(mask, jax.random.fold_in(key, i))
+            state = lanczos_sharded(sg, z, k, mesh)
+            ans_scaled, sh = expmv.multiply_out(state, log_scale=True)
+            ans_s = ans_scaled * jnp.exp(sh - shift).astype(dt)
+            if m_used:
+                ans_s = ans_s - (w_defl * (u_rows @ z)) @ u_rows
+            acc = acc + z * ans_s
+        acc = acc / probes
+        if m_used:
+            acc = acc + jnp.einsum("m,mn->n", w_defl, u_rows * u_rows)
+        acc_h = np.asarray(jax.device_get(acc))
+        if np.isfinite(acc_h).all():
+            break
+    else:
+        raise RuntimeError(
+            "sharded diagonal estimator returned non-finite values "
+            "twice — device state is suspect, re-run"
+        )
+    return DiagResult(
+        diag_scaled=sg.permute_out(acc_h),
         log_scale=float(shift),
         probes=probes,
         k=k,

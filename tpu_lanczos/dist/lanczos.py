@@ -165,3 +165,45 @@ def expm_action_sharded(
         return ans, float(shift), state, sg
     ans = sg.permute_out(np.asarray(out))
     return ans, None, state, sg
+
+
+@partial(jax.jit, static_argnames=("mesh", "k", "n_loc"))
+def _alphabeta_shmap(mesh, ell_indices, ell_degrees, coo_rows, coo_cols, x,
+                     k, n_loc):
+    """jitted shard_map wrapper for the Q-free alpha/beta pass."""
+    from tpu_lanczos.dist.mesh import sharded_alphabeta_body
+
+    P = jax.sharding.PartitionSpec
+
+    def f(ell_idx, ell_deg, coo_rows, coo_cols, x_loc):
+        coo_rows_l = coo_rows[0]
+        coo_cols_l = coo_cols[0]
+
+        def local(q):
+            q_full = jax.lax.all_gather(q, ROWS, tiled=True)  # halo
+            return _local_spmv(ell_idx, ell_deg, coo_rows_l, coo_cols_l,
+                               q_full, n_loc)
+
+        return sharded_alphabeta_body(local, x_loc, k)
+
+    return jax.shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(P(None, ROWS), P(ROWS), P(ROWS, None), P(ROWS, None),
+                  P(ROWS)),
+        out_specs=(P(), P(), P()),
+    )(ell_indices, ell_degrees, coo_rows, coo_cols, x)
+
+
+def lanczos_alphabeta_sharded(sg: ShardedGraph, x: jnp.ndarray, k: int,
+                              mesh: jax.sharding.Mesh):
+    """Pass-1 Q-free Lanczos on the row-sharded graph: the mesh analog of
+    core.lanczos.lanczos_alphabeta — O(n_loc) device memory per shard,
+    no basis stored.  Returns (alpha, beta, x_norm) replicated; beta is
+    FULL length k (slot k-1 = residual norm).  Used by the sharded
+    stochastic estimators (core/stochastic.py) where every trace probe
+    needs only the quadrature coefficients."""
+    return _alphabeta_shmap(
+        mesh, sg.ell_indices, sg.ell_degrees, sg.coo_rows, sg.coo_cols, x,
+        k=k, n_loc=sg.n_loc,
+    )

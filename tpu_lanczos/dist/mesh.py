@@ -106,3 +106,36 @@ def sharded_lanczos_body(local_spmv, x_loc, k: int,
     init = (q, jnp.zeros_like(q), q_basis, alpha, beta)
     _, _, q_basis, alpha, beta = jax.lax.fori_loop(0, k, body, init)
     return alpha, beta, q_basis, x_norm
+
+
+def sharded_alphabeta_body(local_spmv, x_loc, k: int):
+    """Q-free variant of :func:`sharded_lanczos_body`: carries only
+    (q, q_prev) — the mesh analog of core.lanczos.lanczos_alphabeta
+    (pass 1 of the two-pass low-memory mode), O(n_loc) device memory per
+    shard.  Runs INSIDE shard_map.  Returns (alpha, beta, x_norm)
+    replicated; beta is FULL length k (slot k-1 = final residual norm,
+    which the deflation convergence filter needs)."""
+    import jax.numpy as jnp
+
+    dtype = x_loc.dtype
+    x_norm = jnp.sqrt(pdot(x_loc, x_loc))
+    q0 = x_loc / x_norm
+
+    def body(j, carry):
+        q, q_prev, alpha, beta = carry
+        v = local_spmv(q)
+        a = pdot(v, q)
+        alpha = alpha.at[j].set(a)
+        b_prev = jnp.where(j > 0, beta[jnp.maximum(j - 1, 0)],
+                           jnp.zeros((), dtype))
+        v = v - a * q - b_prev * q_prev
+        b = jnp.sqrt(pdot(v, v))
+        beta = beta.at[j].set(b)
+        q_next = jnp.where(b > 0, v / jnp.where(b > 0, b, 1),
+                           jnp.zeros_like(v))
+        return (q_next, q, alpha, beta)
+
+    init = (q0, jnp.zeros_like(q0),
+            jnp.zeros((k,), dtype), jnp.zeros((k,), dtype))
+    _, _, alpha, beta = jax.lax.fori_loop(0, k, body, init)
+    return alpha, beta, x_norm

@@ -275,3 +275,16 @@ def test_cli_estrada_flag_guards(capsys):
                  "--topk", "5"]) == 2
     assert main(["-n", "200", "-e", "600", "--subgraph", "8",
                  "--ks", "5,10"]) == 2
+
+
+def test_cli_estrada_subgraph_sharded(capsys):
+    from tpu_lanczos.cli.main import main
+
+    rc = main(["-n", "500", "-b", "3", "-k", "40", "--dtype", "float64",
+               "--estrada", "32", "--subgraph", "32", "--shards", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "4-shard mesh" in out
+    rel = float(out.split("rel err ")[1].split("\n")[0])
+    assert rel < 5e-2
+    assert "top-1 match: True" in out

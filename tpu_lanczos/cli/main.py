@@ -242,24 +242,44 @@ def _main(args) -> int:
 
     # ---------------- stochastic spectral estimators (--estrada/--subgraph)
     if args.estrada or args.subgraph:
-        if (args.shards or args.topk or args.low_mem or args.func != "exp"
+        if (args.topk or args.low_mem or args.func != "exp"
                 or args.dtype == "df64" or args.reorthogonalize
                 or args.ks or args.pipeline):
-            print("error: --estrada/--subgraph run the single-chip f32/f64 "
-                  "exp pipeline (no --shards/--topk/--low-mem/--func/df64/"
+            print("error: --estrada/--subgraph run the f32/f64 exp "
+                  "pipeline (no --topk/--low-mem/--func/df64/"
                   "--reorthogonalize/--ks/--pipeline)", file=sys.stderr)
             return 2
         from tpu_lanczos.core import stochastic
-        from tpu_lanczos.core.pipeline import _resolve_dg
 
-        dgc = _custom_cpg_dg(args, g)
-        if dgc is None:
-            dgc = _resolve_dg(g, args.fmt, args.ell_pct)
+        mesh = sg = dgc = None
+        if args.shards:
+            from tpu_lanczos.dist import make_mesh, pack_sharded
+
+            if args.fmt in ("cpg", "cst"):
+                print("note: sharded estimators run the XLA sharded "
+                      "formats (--fmt remapped to auto)", file=sys.stderr)
+            fmt = ("auto" if args.fmt in ("best", "cpg", "cst")
+                   else args.fmt)
+            mesh = make_mesh(args.shards)
+            sg = pack_sharded(g, args.shards, fmt=fmt, mesh=mesh)
+            print(f"{args.shards}-shard mesh (stochastic estimators)")
+        else:
+            from tpu_lanczos.core.pipeline import _resolve_dg
+
+            dgc = _custom_cpg_dg(args, g)
+            if dgc is None:
+                dgc = _resolve_dg(g, args.fmt, args.ell_pct)
         if args.estrada:
             t0 = time.time()
-            r = stochastic.estrada_index(
-                g, k=k, probes=args.estrada, deflate=args.deflate,
-                seed=args.seed, dtype=args.dtype, dg=dgc)
+            if mesh is not None:
+                r = stochastic.estrada_index_sharded(
+                    sg, k=k, probes=args.estrada, mesh=mesh,
+                    deflate=args.deflate, seed=args.seed,
+                    dtype=args.dtype)
+            else:
+                r = stochastic.estrada_index(
+                    g, k=k, probes=args.estrada, deflate=args.deflate,
+                    seed=args.seed, dtype=args.dtype, dg=dgc)
             dt = time.time() - t0
             print(f"Estrada index tr(e^A) ~= {r.estimate:.6e}   "
                   f"(log: {r.log_estimate:.6f})")
@@ -274,9 +294,15 @@ def _main(args) -> int:
                       f"{abs(r.estimate - tr_true) / tr_true:.3e}")
         if args.subgraph:
             t0 = time.time()
-            dr = stochastic.subgraph_centrality(
-                g, k=k, probes=args.subgraph, deflate=args.deflate,
-                seed=args.seed, dtype=args.dtype, dg=dgc)
+            if mesh is not None:
+                dr = stochastic.subgraph_centrality_sharded(
+                    sg, k=k, probes=args.subgraph, mesh=mesh,
+                    deflate=args.deflate, seed=args.seed,
+                    dtype=args.dtype)
+            else:
+                dr = stochastic.subgraph_centrality(
+                    g, k=k, probes=args.subgraph, deflate=args.deflate,
+                    seed=args.seed, dtype=args.dtype, dg=dgc)
             dt = time.time() - t0
             print(f"subgraph centrality diag(e^A), scaled by "
                   f"e^{dr.log_scale:.4f}:")

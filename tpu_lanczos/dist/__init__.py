@@ -14,7 +14,11 @@ Here the same row-partition idea rides a ``jax.sharding.Mesh``:
 
 from tpu_lanczos.dist.mesh import make_mesh
 from tpu_lanczos.dist.partition import balanced_permutation, pack_sharded, ShardedGraph
-from tpu_lanczos.dist.lanczos import lanczos_sharded, expm_action_sharded
+from tpu_lanczos.dist.lanczos import (
+    lanczos_sharded,
+    lanczos_alphabeta_sharded,
+    expm_action_sharded,
+)
 
 __all__ = [
     "make_mesh",
@@ -22,5 +26,6 @@ __all__ = [
     "pack_sharded",
     "ShardedGraph",
     "lanczos_sharded",
+    "lanczos_alphabeta_sharded",
     "expm_action_sharded",
 ]

@@ -261,7 +261,8 @@ def _main(args) -> int:
             fmt = ("auto" if args.fmt in ("best", "cpg", "cst")
                    else args.fmt)
             mesh = make_mesh(args.shards)
-            sg = pack_sharded(g, args.shards, fmt=fmt, mesh=mesh)
+            sg = pack_sharded(g, args.shards, fmt=fmt,
+                              ell_pct=args.ell_pct, mesh=mesh)
             print(f"{args.shards}-shard mesh (stochastic estimators)")
         else:
             from tpu_lanczos.core.pipeline import _resolve_dg

@@ -226,13 +226,13 @@ def _ritz_pairs_from(alpha, beta_full, q_basis, m: int, dtype,
                       u_norm_sq=u_norm_sq, shift=float(evals.max()))
 
 
-def _deflation_warn():
+def _deflation_warn(stacklevel: int = 4):
     import warnings
 
     warnings.warn(
         "deflation Lanczos returned non-finite coefficients repeatedly — "
         "falling back to plain (undeflated) Hutchinson",
-        stacklevel=4,
+        stacklevel=stacklevel,
     )
 
 
@@ -424,6 +424,61 @@ def estrada_index(
     return _estrada_estimate(ab, mask, probes, seed, k, defl)
 
 
+def _sharded_setup(graph, mesh, fmt: str, dt, ell_pct: float):
+    """Shared sharded-estimator preamble: resolve/pack the ShardedGraph
+    and build the ones-at-real-cells device mask, sharded over ROWS."""
+    from tpu_lanczos.dist.mesh import ROWS
+    from tpu_lanczos.dist.partition import ShardedGraph, pack_sharded
+
+    if isinstance(graph, ShardedGraph):
+        sg = graph
+    else:
+        sg = pack_sharded(
+            graph, mesh.shape[ROWS],
+            fmt="auto" if fmt in ("auto", "best") else fmt,
+            ell_pct=ell_pct, mesh=mesh,
+        )
+    P = jax.sharding.PartitionSpec
+    mask = jax.device_put(
+        jnp.asarray(sg.permute_in(np.ones(sg.n), dt)),
+        jax.sharding.NamedSharding(mesh, P(ROWS)),
+    )
+    return sg, mask
+
+
+def _deflation_pairs_sharded(sg, mask, mesh, m: int, dt, seed: int,
+                             k_defl: int | None = None
+                             ) -> _Deflation | None:
+    """Sharded deflation: one reorthogonalized shard_map Lanczos run
+    (full (k,) beta from _lanczos_shmap) feeding :func:`_ritz_pairs_from`
+    — u_rows stays column-sharded.  Mirrors the single-chip
+    _deflation_pairs including the transient-fault retry."""
+    from tpu_lanczos.dist.lanczos import _lanczos_shmap
+
+    k_defl, m = _defl_depth(m, k_defl, sg.n - 1)
+    if m <= 0:
+        return None
+    alpha = beta = q_basis = None
+    for attempt in range(3):
+        z0 = _masked_rademacher(
+            mask,
+            jax.random.fold_in(jax.random.key(seed),
+                               _DEFLATE_KEY - attempt),
+        )
+        alpha_d, beta_d, q_basis, _ = _lanczos_shmap(
+            mesh, sg.ell_indices, sg.ell_degrees, sg.coo_rows,
+            sg.coo_cols, z0, k=k_defl, n_loc=sg.n_loc,
+            reorthogonalize=True,
+        )
+        alpha, beta = jax.device_get((alpha_d, beta_d))
+        if np.isfinite(alpha).all() and np.isfinite(beta).all():
+            break
+    else:
+        _deflation_warn(stacklevel=5)
+        return None
+    return _ritz_pairs_from(alpha, beta, q_basis, m, dt)
+
+
 def estrada_index_sharded(
     graph,
     k: int = 30,
@@ -435,6 +490,7 @@ def estrada_index_sharded(
     seed: int = 0,
     dtype: str | jnp.dtype = "float32",
     fmt: str = "auto",
+    ell_pct: float = 90.0,
 ) -> TraceResult:
     """Estrada index on an N-chip row-sharded mesh: every probe is one
     Q-free sharded alpha/beta pass (dist/lanczos.py
@@ -443,53 +499,14 @@ def estrada_index_sharded(
     mesh, and the k x k quadrature stage stays on the host exactly as in
     the single-chip path.  ``graph`` is a CSRGraph (packed here) or a
     pre-packed ShardedGraph; XLA sharded formats only."""
-    from tpu_lanczos.dist.lanczos import (
-        _lanczos_shmap, lanczos_alphabeta_sharded,
-    )
-    from tpu_lanczos.dist.mesh import ROWS
-    from tpu_lanczos.dist.partition import ShardedGraph, pack_sharded
+    from tpu_lanczos.dist.lanczos import lanczos_alphabeta_sharded
 
-    n_shards = mesh.shape[ROWS]
-    if isinstance(graph, ShardedGraph):
-        sg = graph
-    else:
-        sg = pack_sharded(
-            graph, n_shards,
-            fmt="auto" if fmt in ("auto", "best") else fmt, mesh=mesh,
-        )
     dt = jnp.dtype(dtype)
+    sg, mask = _sharded_setup(graph, mesh, fmt, dt, ell_pct)
     k = int(max(min(k, sg.n - 1), 1))
-    P = jax.sharding.PartitionSpec
-    mask = jax.device_put(
-        jnp.asarray(sg.permute_in(np.ones(sg.n), dt)),
-        jax.sharding.NamedSharding(mesh, P(ROWS)),
-    )
-
-    defl = None
-    if deflate > 0:
-        k_defl, m = _defl_depth(deflate, k_deflate, sg.n - 1)
-        if m > 0:
-            alpha = beta = q_basis = None
-            for attempt in range(3):
-                z0 = _masked_rademacher(
-                    mask,
-                    jax.random.fold_in(jax.random.key(seed),
-                                       _DEFLATE_KEY - attempt),
-                )
-                alpha_d, beta_d, q_basis, _ = _lanczos_shmap(
-                    mesh, sg.ell_indices, sg.ell_degrees, sg.coo_rows,
-                    sg.coo_cols, z0, k=k_defl, n_loc=sg.n_loc,
-                    reorthogonalize=True,
-                )
-                alpha, beta = jax.device_get((alpha_d, beta_d))
-                if np.isfinite(alpha).all() and np.isfinite(beta).all():
-                    break
-            else:
-                _deflation_warn()
-                alpha = None
-            if alpha is not None:
-                defl = _ritz_pairs_from(alpha, beta, q_basis, m, dt)
-
+    defl = (_deflation_pairs_sharded(sg, mask, mesh, deflate, dt, seed,
+                                     k_defl=k_deflate)
+            if deflate > 0 else None)
     ab = lambda z: lanczos_alphabeta_sharded(sg, z, k, mesh)
     return _estrada_estimate(ab, mask, probes, seed, k, defl)
 
@@ -704,6 +721,7 @@ def subgraph_centrality_sharded(
     seed: int = 0,
     dtype: str | jnp.dtype = "float32",
     fmt: str = "auto",
+    ell_pct: float = 90.0,
 ) -> DiagResult:
     """Subgraph centrality diag(e^A) on an N-chip row-sharded mesh:
     every probe is one sharded e^A z action (dist/lanczos.py) and the
@@ -711,52 +729,18 @@ def subgraph_centrality_sharded(
     permute_out at the end).  Deflation basis and corrections ride GSPMD
     sharded matmuls.  Unlike the single-chip fused fori_loop, probes
     here dispatch one sharded program each — the mesh analog keeps the
-    per-probe shard_map as the compilation unit."""
-    from tpu_lanczos.dist.lanczos import _lanczos_shmap, lanczos_sharded
-    from tpu_lanczos.dist.mesh import ROWS
-    from tpu_lanczos.dist.partition import ShardedGraph, pack_sharded
+    per-probe shard_map as the compilation unit — with the accumulator
+    synced every 8 probes to bound the async queue depth (the axon
+    deep-queue NaN hazard, see _probe_stats)."""
+    from tpu_lanczos.dist.lanczos import lanczos_sharded
 
-    n_shards = mesh.shape[ROWS]
-    if isinstance(graph, ShardedGraph):
-        sg = graph
-    else:
-        sg = pack_sharded(
-            graph, n_shards,
-            fmt="auto" if fmt in ("auto", "best") else fmt, mesh=mesh,
-        )
     dt = jnp.dtype(dtype)
+    sg, mask = _sharded_setup(graph, mesh, fmt, dt, ell_pct)
     k = int(max(min(k, sg.n - 1), 1))
-    P = jax.sharding.PartitionSpec
-    mask = jax.device_put(
-        jnp.asarray(sg.permute_in(np.ones(sg.n), dt)),
-        jax.sharding.NamedSharding(mesh, P(ROWS)),
-    )
 
-    defl = None
-    if deflate > 0:
-        k_defl, m = _defl_depth(deflate, k_deflate, sg.n - 1)
-        if m > 0:
-            alpha = beta = q_basis = None
-            for attempt in range(3):
-                z0 = _masked_rademacher(
-                    mask,
-                    jax.random.fold_in(jax.random.key(seed),
-                                       _DEFLATE_KEY - attempt),
-                )
-                alpha_d, beta_d, q_basis, _ = _lanczos_shmap(
-                    mesh, sg.ell_indices, sg.ell_degrees, sg.coo_rows,
-                    sg.coo_cols, z0, k=k_defl, n_loc=sg.n_loc,
-                    reorthogonalize=True,
-                )
-                alpha, beta = jax.device_get((alpha_d, beta_d))
-                if np.isfinite(alpha).all() and np.isfinite(beta).all():
-                    break
-            else:
-                _deflation_warn()
-                alpha = None
-            if alpha is not None:
-                defl = _ritz_pairs_from(alpha, beta, q_basis, m, dt)
-
+    defl = (_deflation_pairs_sharded(sg, mask, mesh, deflate, dt, seed,
+                                     k_defl=k_deflate)
+            if deflate > 0 else None)
     if defl is not None:
         u_rows = defl.u_rows
         w_defl = jnp.asarray(np.exp(defl.theta - defl.shift).astype(dt))
@@ -767,7 +751,7 @@ def subgraph_centrality_sharded(
 
         u_rows = w_defl = None
         a0, b0, _ = jax.device_get(lanczos_alphabeta_sharded(
-            sg, mask, min(max(k, 10), sg.n - 1), mesh))
+            sg, mask, max(min(max(k, 10), sg.n - 1), 1), mesh))
         shift = float(tridiag.eigh_host(a0, b0[:-1])[0].max())
         m_used = 0
 
@@ -784,6 +768,8 @@ def subgraph_centrality_sharded(
             if m_used:
                 ans_s = ans_s - (w_defl * (u_rows @ z)) @ u_rows
             acc = acc + z * ans_s
+            if (i + 1) % 8 == 0:  # bound in-flight depth (axon hazard)
+                acc.block_until_ready()
         acc = acc / probes
         if m_used:
             acc = acc + jnp.einsum("m,mn->n", w_defl, u_rows * u_rows)

@@ -288,3 +288,24 @@ def test_cli_estrada_subgraph_sharded(capsys):
     rel = float(out.split("rel err ")[1].split("\n")[0])
     assert rel < 5e-2
     assert "top-1 match: True" in out
+
+
+def test_cli_estrada_sharded_cpg(capsys):
+    """--estrada --shards --fmt cpg rides the Pallas production kernel
+    (no silent remap to the XLA formats)."""
+    from tpu_lanczos.cli.main import main
+
+    rc = main(["-n", "400", "-b", "3", "-k", "30", "--dtype", "float64",
+               "--estrada", "16", "--shards", "4", "--fmt", "cpg"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "ShardedCPG" in out
+    rel = float(out.split("rel err ")[1].split("\n")[0])
+    assert rel < 0.1
+
+
+def test_cli_estrada_sharded_rejects_cst():
+    from tpu_lanczos.cli.main import main
+
+    assert main(["-n", "200", "-e", "600", "--estrada", "8",
+                 "--shards", "2", "--fmt", "cst"]) == 2

@@ -193,6 +193,69 @@ def test_subgraph_sharded_vs_dense(ba200, diag_true):
     assert int(dr.top_nodes(1)[0]) == int(np.argmax(diag_true))
 
 
+def test_estrada_sharded_cpg_vs_dense(ba200, tr_true):
+    """fmt='cpg': the sharded estimators ride the production Pallas
+    kernel (interpret mode on the CPU mesh) — same accuracy band as the
+    XLA-format path."""
+    import tpu_lanczos as tl
+    from tpu_lanczos.dist.mesh import make_mesh
+
+    mesh = make_mesh(4)
+    r = tl.estrada_index_sharded(ba200, k=40, probes=32, mesh=mesh,
+                                 dtype="float64", fmt="cpg")
+    assert r.deflated > 0
+    assert abs(r.estimate - tr_true) / tr_true < 5e-3
+    assert r.rel_stderr < 2e-2
+    assert r.dropped == 0
+
+
+def test_subgraph_sharded_cpg_vs_dense(ba200, diag_true):
+    import tpu_lanczos as tl
+    from tpu_lanczos.dist.mesh import make_mesh
+
+    dr = tl.subgraph_centrality_sharded(ba200, k=30, probes=32,
+                                        mesh=make_mesh(4),
+                                        dtype="float64", fmt="cpg")
+    d_est = dr.full_diag()
+    assert dr.deflated > 0
+    assert np.corrcoef(d_est, diag_true)[0, 1] > 0.999
+    rel = np.linalg.norm(d_est - diag_true) / np.linalg.norm(diag_true)
+    assert rel < 0.05
+    assert int(dr.top_nodes(1)[0]) == int(np.argmax(diag_true))
+
+
+def test_alphabeta_cpg_sharded_matches_quadrature(ba200):
+    """The CPG-sharded Q-free pass produces a valid quadrature rule:
+    same check as the XLA-format pass below."""
+    import jax, jax.numpy as jnp
+    from tpu_lanczos.dist.cpg_sharded import (lanczos_alphabeta_cpg_sharded,
+                                              pack_cpg_sharded)
+    from tpu_lanczos.dist.mesh import ROWS, make_mesh
+
+    mesh = make_mesh(4)
+    sg = pack_cpg_sharded(ba200, 4, mesh=mesh)
+    assert sg.overlap and sg.n_main == 2  # overlap split active
+    x = np.ones(ba200.n)
+    x_dev = jnp.asarray(sg.permute_in(x, np.float64))
+    a, b, xn = jax.device_get(
+        lanczos_alphabeta_cpg_sharded(sg, x_dev, 30, mesh, interpret=True))
+    dec = oracle.lanczos(ba200, x, 30)
+    assert np.allclose(a[:12], dec.alpha[:12], rtol=1e-9, atol=1e-9)
+    assert np.allclose(b[:12], dec.beta[:12], rtol=1e-9, atol=1e-9)
+    q_sh = stochastic.gauss_quadrature(a, b[:29], float(xn) ** 2, np.exp)
+    q_dense = oracle.quadrature_dense(ba200, x, np.exp)
+    assert abs(q_sh - q_dense) / q_dense < 1e-8
+
+
+def test_sharded_setup_rejects_bad_fmt(ba200):
+    import tpu_lanczos as tl
+    from tpu_lanczos.dist.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="sharded estimators support"):
+        tl.estrada_index_sharded(ba200, k=10, probes=2,
+                                 mesh=make_mesh(2), fmt="cst")
+
+
 def test_alphabeta_sharded_matches_quadrature(ba200):
     # the sharded Q-free pass must produce the same tridiagonal (up to
     # fp reduction order) as the oracle for the same start vector

@@ -251,19 +251,36 @@ def _main(args) -> int:
             return 2
         from tpu_lanczos.core import stochastic
 
+        if args.log_scale:
+            print("note: --log-scale is implied by the estimators (they "
+                  "work in shifted space); flag ignored", file=sys.stderr)
+        if args.write_ans and not args.subgraph:
+            print("note: --write-ans applies to --subgraph only "
+                  "(--estrada yields a scalar); flag ignored",
+                  file=sys.stderr)
         mesh = sg = dgc = None
         if args.shards:
-            from tpu_lanczos.dist import make_mesh, pack_sharded
+            import jax.numpy as jnp
+            from tpu_lanczos.dist import make_mesh
 
-            if args.fmt in ("cpg", "cst"):
-                print("note: sharded estimators run the XLA sharded "
-                      "formats (--fmt remapped to auto)", file=sys.stderr)
-            fmt = ("auto" if args.fmt in ("best", "cpg", "cst")
-                   else args.fmt)
+            if args.fmt == "cst":
+                print("error: --fmt cst is single-chip only (sharded "
+                      "estimators support best/cpg/auto/ell/hyb/coo)",
+                      file=sys.stderr)
+                return 2
+            if args.fmt == "coo":
+                print("note: sharded --fmt coo runs the hybrid ELL+COO "
+                      "format (pure COO has no sharded packer)",
+                      file=sys.stderr)
             mesh = make_mesh(args.shards)
-            sg = pack_sharded(g, args.shards, fmt=fmt,
-                              ell_pct=args.ell_pct, mesh=mesh)
-            print(f"{args.shards}-shard mesh (stochastic estimators)")
+            # pack once for both estimators; fmt cpg/best-on-TPU rides
+            # the Pallas CPG kernel inside shard_map (the production
+            # kernel), XLA formats otherwise
+            sg, _ = stochastic._sharded_setup(
+                g, mesh, args.fmt, jnp.dtype(args.dtype), args.ell_pct)
+            kind = type(sg).__name__
+            print(f"{args.shards}-shard mesh (stochastic estimators, "
+                  f"{kind})")
         else:
             from tpu_lanczos.core.pipeline import _resolve_dg
 
@@ -322,6 +339,12 @@ def _main(args) -> int:
                            / np.linalg.norm(d_true))
                     print(f"  dense oracle: rel l2 err {rel:.3e}, top-1 "
                           f"match: {int(top[0]) == int(np.argmax(d_true))}")
+            if args.write_ans:
+                from tpu_lanczos.eval.check import write_ans
+
+                write_ans(dr.diag_scaled, args.write_ans)
+                print(f"scaled diagonal written to {args.write_ans} "
+                      f"(true diag = value * e^{dr.log_scale:.4f})")
         return 0
 
     # ---------------- general spectral function (--func != exp)

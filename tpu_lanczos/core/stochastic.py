@@ -139,8 +139,10 @@ def _probe_stats(alphabeta_fn, mask, probes: int, seed: int, u_rows=None):
     """Queue all trace probes asynchronously; ONE host sync at the end.
     ``alphabeta_fn(z) -> (alpha, beta, x_norm)`` is the backend's Q-free
     pass (single-chip lanczos_alphabeta or the sharded variant).
-    Returns a list of (alpha, beta, x_norm, c) numpy tuples (c is None
-    without deflation).
+    Returns ``(kept, dropped)``: a list of (alpha, beta, x_norm, c)
+    numpy tuples (c is None without deflation) plus the count of probes
+    dropped for non-finite coefficients — surfaced so results record
+    when an estimate ran on fewer probes than requested.
 
     Probes are fetched in chunks of 8: deep async queues of many small
     programs were observed to trigger a transient NaN race on the
@@ -177,7 +179,7 @@ def _probe_stats(alphabeta_fn, mask, probes: int, seed: int, u_rows=None):
             "every stochastic probe returned non-finite Lanczos "
             "coefficients — device state is suspect, re-run"
         )
-    return kept
+    return kept, len(got) - len(kept)
 
 
 # ----------------------------------------------------------------- deflation
@@ -292,6 +294,7 @@ class TraceResult:
     probes: int
     k: int
     deflated: int = 0      # rank of the deflation basis actually used
+    dropped: int = 0       # probes discarded for non-finite coefficients
 
 
 def trace_fa(
@@ -320,16 +323,18 @@ def trace_fa(
         dg = _resolve_dg(graph, fmt, ell_pct)
     mask = _start_vector(dg, graph, jnp.dtype(dtype), None)
     ab = lambda z: lanczos_alphabeta(dg, z, k, spmv_impl=spmv_impl)
+    stats, dropped = _probe_stats(ab, mask, probes, seed)
     vals = np.array([
         gauss_quadrature(a, b[: k - 1], float(xn) ** 2, f)
-        for a, b, xn, _ in _probe_stats(ab, mask, probes, seed)
+        for a, b, xn, _ in stats
     ])
     n_used = vals.size
     est = float(vals.mean())
     se = float(vals.std(ddof=1) / np.sqrt(n_used)) if n_used > 1 else 0.0
     return TraceResult(estimate=est, stderr=se, log_estimate=None,
                        rel_stderr=se / abs(est) if est else np.inf,
-                       per_probe=vals, probes=n_used, k=k)
+                       per_probe=vals, probes=n_used, k=k,
+                       dropped=dropped)
 
 
 def _estrada_estimate(alphabeta_fn, mask, probes: int, seed: int, k: int,
@@ -338,10 +343,10 @@ def _estrada_estimate(alphabeta_fn, mask, probes: int, seed: int, k: int,
     deflated shifted-space path when ``defl`` is given, plain log-space
     (logsumexp per probe) otherwise."""
     if defl is None:
+        stats, dropped = _probe_stats(alphabeta_fn, mask, probes, seed)
         logs = np.array([
             gauss_quadrature_logexp(a, b[: k - 1], float(xn) ** 2)
-            for a, b, xn, _ in _probe_stats(alphabeta_fn, mask, probes,
-                                            seed)
+            for a, b, xn, _ in stats
         ])
         n_used = logs.size
         lmax = float(logs.max())
@@ -357,13 +362,14 @@ def _estrada_estimate(alphabeta_fn, mask, probes: int, seed: int, k: int,
                 log_estimate=log_est,
                 rel_stderr=se_u / mean_u if mean_u else np.inf,
                 per_probe=logs, probes=n_used, k=k, deflated=0,
+                dropped=dropped,
             )
 
     s = defl.shift
     w_defl = np.exp(defl.theta - s)  # (m,) in (0, 1]
     tr_m = float(np.dot(w_defl, defl.u_norm_sq))  # e^{-s} tr(M)
-    stats = _probe_stats(alphabeta_fn, mask, probes, seed,
-                         u_rows=defl.u_rows)
+    stats, dropped = _probe_stats(alphabeta_fn, mask, probes, seed,
+                                  u_rows=defl.u_rows)
     vals = np.array([
         gauss_quadrature_shifted_exp(a, b[: k - 1], float(xn) ** 2, s)
         - float(np.dot(w_defl, np.asarray(c, np.float64) ** 2))
@@ -382,7 +388,7 @@ def _estrada_estimate(alphabeta_fn, mask, probes: int, seed: int, k: int,
             log_estimate=log_est,
             rel_stderr=se_r / est_scaled if est_scaled > 0 else np.inf,
             per_probe=vals, probes=n_used, k=k,
-            deflated=int(defl.theta.size),
+            deflated=int(defl.theta.size), dropped=dropped,
         )
 
 
@@ -424,20 +430,41 @@ def estrada_index(
     return _estrada_estimate(ab, mask, probes, seed, k, defl)
 
 
+def _cpg_interpret() -> bool:
+    """Pallas CPG runs in interpret mode off-TPU (CPU test meshes)."""
+    return jax.default_backend() in ("cpu", "gpu")
+
+
 def _sharded_setup(graph, mesh, fmt: str, dt, ell_pct: float):
-    """Shared sharded-estimator preamble: resolve/pack the ShardedGraph
-    and build the ones-at-real-cells device mask, sharded over ROWS."""
+    """Shared sharded-estimator preamble: resolve/pack the sharded
+    graph (the Pallas ShardedCPG for fmt="cpg"/"best"-on-TPU, XLA
+    formats otherwise) and build the ones-at-real-cells device mask,
+    sharded over ROWS."""
+    from tpu_lanczos.dist.cpg_sharded import ShardedCPG, pack_cpg_sharded
     from tpu_lanczos.dist.mesh import ROWS
     from tpu_lanczos.dist.partition import ShardedGraph, pack_sharded
 
-    if isinstance(graph, ShardedGraph):
+    if isinstance(graph, (ShardedGraph, ShardedCPG)):
         sg = graph
     else:
-        sg = pack_sharded(
-            graph, mesh.shape[ROWS],
-            fmt="auto" if fmt in ("auto", "best") else fmt,
-            ell_pct=ell_pct, mesh=mesh,
-        )
+        if fmt == "best":
+            fmt = "cpg" if not _cpg_interpret() else "auto"
+        if fmt == "cpg":
+            sg = pack_cpg_sharded(graph, mesh.shape[ROWS], mesh=mesh)
+        elif fmt in ("auto", "ell", "hyb", "coo"):
+            # pack_sharded's hybrid packer covers coo (pure COO has no
+            # sharded packer)
+            sg = pack_sharded(graph, mesh.shape[ROWS],
+                              fmt="auto" if fmt == "coo" else fmt,
+                              ell_pct=ell_pct, mesh=mesh)
+        else:
+            raise ValueError(
+                f"sharded estimators support fmt best/cpg/auto/ell/hyb/"
+                f"coo, not {fmt!r}")
+    if isinstance(sg, ShardedCPG):
+        # the permuted all-ones vector IS the pack's realmask, already
+        # device-resident and sharded alongside the levels
+        return sg, sg.realmask.astype(dt)
     P = jax.sharding.PartitionSpec
     mask = jax.device_put(
         jnp.asarray(sg.permute_in(np.ones(sg.n), dt)),
@@ -446,13 +473,28 @@ def _sharded_setup(graph, mesh, fmt: str, dt, ell_pct: float):
     return sg, mask
 
 
+def _sharded_alphabeta_fn(sg, k: int, mesh):
+    """The backend's Q-free pass: Pallas CPG kernel for a ShardedCPG,
+    XLA formats otherwise."""
+    from tpu_lanczos.dist.cpg_sharded import (ShardedCPG,
+                                              lanczos_alphabeta_cpg_sharded)
+    from tpu_lanczos.dist.lanczos import lanczos_alphabeta_sharded
+
+    if isinstance(sg, ShardedCPG):
+        interp = _cpg_interpret()
+        return lambda z: lanczos_alphabeta_cpg_sharded(sg, z, k, mesh,
+                                                       interpret=interp)
+    return lambda z: lanczos_alphabeta_sharded(sg, z, k, mesh)
+
+
 def _deflation_pairs_sharded(sg, mask, mesh, m: int, dt, seed: int,
                              k_defl: int | None = None
                              ) -> _Deflation | None:
     """Sharded deflation: one reorthogonalized shard_map Lanczos run
-    (full (k,) beta from _lanczos_shmap) feeding :func:`_ritz_pairs_from`
-    — u_rows stays column-sharded.  Mirrors the single-chip
-    _deflation_pairs including the transient-fault retry."""
+    (full (k,) beta from the backend's shmap) feeding
+    :func:`_ritz_pairs_from` — u_rows stays column-sharded.  Mirrors the
+    single-chip _deflation_pairs including the transient-fault retry."""
+    from tpu_lanczos.dist.cpg_sharded import ShardedCPG, _lanczos_cpg_shmap
     from tpu_lanczos.dist.lanczos import _lanczos_shmap
 
     k_defl, m = _defl_depth(m, k_defl, sg.n - 1)
@@ -465,11 +507,19 @@ def _deflation_pairs_sharded(sg, mask, mesh, m: int, dt, seed: int,
             jax.random.fold_in(jax.random.key(seed),
                                _DEFLATE_KEY - attempt),
         )
-        alpha_d, beta_d, q_basis, _ = _lanczos_shmap(
-            mesh, sg.ell_indices, sg.ell_degrees, sg.coo_rows,
-            sg.coo_cols, z0, k=k_defl, n_loc=sg.n_loc,
-            reorthogonalize=True,
-        )
+        if isinstance(sg, ShardedCPG):
+            alpha_d, beta_d, q_basis, _ = _lanczos_cpg_shmap(
+                mesh, sg.levels, sg.realmask, z0, k=k_defl, sub=sg.sub,
+                c_loc=sg.c_loc, interpret=_cpg_interpret(),
+                reorthogonalize=True, t_reals=sg.t_reals,
+                mask_sparse=sg.mask_sparse, overlap=sg.overlap,
+            )
+        else:
+            alpha_d, beta_d, q_basis, _ = _lanczos_shmap(
+                mesh, sg.ell_indices, sg.ell_degrees, sg.coo_rows,
+                sg.coo_cols, z0, k=k_defl, n_loc=sg.n_loc,
+                reorthogonalize=True,
+            )
         alpha, beta = jax.device_get((alpha_d, beta_d))
         if np.isfinite(alpha).all() and np.isfinite(beta).all():
             break
@@ -493,21 +543,21 @@ def estrada_index_sharded(
     ell_pct: float = 90.0,
 ) -> TraceResult:
     """Estrada index on an N-chip row-sharded mesh: every probe is one
-    Q-free sharded alpha/beta pass (dist/lanczos.py
-    lanczos_alphabeta_sharded — psum'd dots, all_gather halo, O(n_loc)
-    memory per shard), the deflation basis lives column-sharded on the
-    mesh, and the k x k quadrature stage stays on the host exactly as in
-    the single-chip path.  ``graph`` is a CSRGraph (packed here) or a
-    pre-packed ShardedGraph; XLA sharded formats only."""
-    from tpu_lanczos.dist.lanczos import lanczos_alphabeta_sharded
-
+    Q-free sharded alpha/beta pass (the Pallas CPG kernel inside
+    shard_map for fmt="cpg"/"best"-on-TPU — the production kernel, as
+    the reference ran on every card, parallel-two-cards/lib/
+    cu_lanczos.cu:120-122 — or the XLA formats otherwise; psum'd dots,
+    halo collectives, O(n_loc) memory per shard), the deflation basis
+    lives column-sharded on the mesh, and the k x k quadrature stage
+    stays on the host exactly as in the single-chip path.  ``graph`` is
+    a CSRGraph (packed here) or a pre-packed ShardedGraph/ShardedCPG."""
     dt = jnp.dtype(dtype)
     sg, mask = _sharded_setup(graph, mesh, fmt, dt, ell_pct)
     k = int(max(min(k, sg.n - 1), 1))
     defl = (_deflation_pairs_sharded(sg, mask, mesh, deflate, dt, seed,
                                      k_defl=k_deflate)
             if deflate > 0 else None)
-    ab = lambda z: lanczos_alphabeta_sharded(sg, z, k, mesh)
+    ab = _sharded_alphabeta_fn(sg, k, mesh)
     return _estrada_estimate(ab, mask, probes, seed, k, defl)
 
 
@@ -564,7 +614,7 @@ def spectral_density(
     mask = _start_vector(dg, graph, jnp.dtype(dtype), None)
     nodes, weights = [], []
     ab = lambda z: lanczos_alphabeta(dg, z, k, spmv_impl=spmv_impl)
-    stats = _probe_stats(ab, mask, probes, seed)
+    stats, _ = _probe_stats(ab, mask, probes, seed)
     probes = len(stats)  # survivors (non-finite probes are dropped)
     for a, b, xn, _ in stats:
         evals, evecs = tridiag.eigh_host(a, b[: k - 1])
@@ -679,9 +729,11 @@ def subgraph_centrality(
         u_rows = jnp.zeros((0, n_pad), dtype=dt)
         w_defl = jnp.zeros((0,), dtype=dt)
         # anchor the scale at the lambda_max Ritz estimate from a cheap
-        # alpha/beta pass so the scaled accumulator stays representable
+        # alpha/beta pass so the scaled accumulator stays representable;
+        # depth clamps at graph.n - 1 (like every other k clamp here) so
+        # small graphs don't run past exact breakdown
         a0, b0, _ = jax.device_get(lanczos_alphabeta(
-            dg, mask, min(max(k, 10), max(n_pad - 1, 1)),
+            dg, mask, max(min(max(k, 10), graph.n - 1), 1),
             spmv_impl=spmv_impl))
         shift = float(tridiag.eigh_host(a0, b0[:-1])[0].max())
         m_used = 0
@@ -732,11 +784,18 @@ def subgraph_centrality_sharded(
     per-probe shard_map as the compilation unit — with the accumulator
     synced every 8 probes to bound the async queue depth (the axon
     deep-queue NaN hazard, see _probe_stats)."""
+    from tpu_lanczos.dist.cpg_sharded import ShardedCPG, lanczos_cpg_sharded
     from tpu_lanczos.dist.lanczos import lanczos_sharded
 
     dt = jnp.dtype(dtype)
     sg, mask = _sharded_setup(graph, mesh, fmt, dt, ell_pct)
     k = int(max(min(k, sg.n - 1), 1))
+    if isinstance(sg, ShardedCPG):
+        _interp = _cpg_interpret()
+        lz = lambda z: lanczos_cpg_sharded(sg, z, k, mesh,
+                                           interpret=_interp)
+    else:
+        lz = lambda z: lanczos_sharded(sg, z, k, mesh)
 
     defl = (_deflation_pairs_sharded(sg, mask, mesh, deflate, dt, seed,
                                      k_defl=k_deflate)
@@ -747,11 +806,10 @@ def subgraph_centrality_sharded(
         shift = defl.shift
         m_used = int(defl.theta.size)
     else:
-        from tpu_lanczos.dist.lanczos import lanczos_alphabeta_sharded
-
         u_rows = w_defl = None
-        a0, b0, _ = jax.device_get(lanczos_alphabeta_sharded(
-            sg, mask, max(min(max(k, 10), sg.n - 1), 1), mesh))
+        k_anchor = max(min(max(k, 10), sg.n - 1), 1)
+        ab0 = _sharded_alphabeta_fn(sg, k_anchor, mesh)
+        a0, b0, _ = jax.device_get(ab0(mask))
         shift = float(tridiag.eigh_host(a0, b0[:-1])[0].max())
         m_used = 0
 
@@ -762,7 +820,7 @@ def subgraph_centrality_sharded(
         key = jax.random.fold_in(base, attempt)
         for i in range(probes):
             z = _masked_rademacher(mask, jax.random.fold_in(key, i))
-            state = lanczos_sharded(sg, z, k, mesh)
+            state = lz(z)
             ans_scaled, sh = expmv.multiply_out(state, log_scale=True)
             ans_s = ans_scaled * jnp.exp(sh - shift).astype(dt)
             if m_used:

@@ -473,7 +473,8 @@ def _local_spmv(levels_loc, realmask_loc, q_loc, sub, c_loc, interpret,
 from functools import partial
 
 from tpu_lanczos.core.lanczos import LanczosState
-from tpu_lanczos.dist.mesh import sharded_lanczos_body
+from tpu_lanczos.dist.mesh import (sharded_alphabeta_body,
+                                   sharded_lanczos_body)
 
 
 @partial(jax.jit, static_argnames=(
@@ -509,6 +510,55 @@ def _lanczos_cpg_shmap(mesh, levels, realmask, x, k, sub, c_loc,
         # spuriously — so it is off only there.
         check_vma=not interpret,
     )(levels, realmask, x)
+
+
+@partial(jax.jit, static_argnames=(
+    "mesh", "k", "sub", "c_loc", "interpret", "t_reals", "mask_sparse",
+    "overlap"))
+def _alphabeta_cpg_shmap(mesh, levels, realmask, x, k, sub, c_loc,
+                         interpret, t_reals=(), mask_sparse=(),
+                         overlap=False):
+    P = jax.sharding.PartitionSpec
+
+    def shard_spec(v):
+        return P(ROWS, *([None] * (v.ndim - 1)))
+
+    level_specs = jax.tree.map(shard_spec, levels)
+
+    def f(levels_loc, realmask_loc, x_loc):
+        def local(q):
+            return _local_spmv(levels_loc, realmask_loc, q, sub, c_loc,
+                               interpret, t_reals, mask_sparse, overlap)
+
+        return sharded_alphabeta_body(local, x_loc, k)
+
+    return jax.shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(level_specs, P(ROWS), P(ROWS)),
+        out_specs=(P(), P(), P()),
+        check_vma=not interpret,
+    )(levels, realmask, x)
+
+
+def lanczos_alphabeta_cpg_sharded(sg: ShardedCPG, x: jnp.ndarray, k: int,
+                                  mesh: jax.sharding.Mesh,
+                                  interpret: bool = False):
+    """Pass-1 Q-free Lanczos with the CPG kernel row-sharded over
+    ``mesh``: O(n_loc) device memory per shard, no basis stored — the
+    production-kernel twin of dist.lanczos.lanczos_alphabeta_sharded
+    (and the f32 subset of the df64 _alphabeta_df_shmap structure).
+
+    Returns (alpha, beta, x_norm) replicated; beta is FULL length k
+    (slot k-1 = residual norm, which the deflation convergence filter
+    needs).  Used by the sharded stochastic estimators so every trace
+    probe rides the same kernel the reference ran on every card
+    (parallel-two-cards/lib/cu_lanczos.cu:120-122)."""
+    return _alphabeta_cpg_shmap(
+        mesh, sg.levels, sg.realmask, x, k=k, sub=sg.sub, c_loc=sg.c_loc,
+        interpret=interpret, t_reals=sg.t_reals,
+        mask_sparse=sg.mask_sparse, overlap=sg.overlap,
+    )
 
 
 def lanczos_cpg_sharded(

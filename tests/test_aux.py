@@ -304,6 +304,20 @@ def test_cli_estrada_sharded_cpg(capsys):
     assert rel < 0.1
 
 
+def test_cli_sharded_df64(capsys):
+    """--shards --dtype df64 drives expm_action_df_sharded: f64-grade
+    accuracy against the serial oracle (VERDICT round-4 ask #3)."""
+    from tpu_lanczos.cli.main import main
+
+    rc = main(["-n", "1024", "-b", "4", "-k", "25", "--dtype", "df64",
+               "--shards", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "4-shard mesh pipeline (df64)" in out
+    rel = float(out.split("relative ")[1].split(")")[0])
+    assert rel < 1e-12
+
+
 def test_cli_estrada_sharded_rejects_cst():
     from tpu_lanczos.cli.main import main
 

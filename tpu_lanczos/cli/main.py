@@ -417,14 +417,55 @@ def _main(args) -> int:
         import jax
         from tpu_lanczos.dist import make_mesh, expm_action_sharded
 
-        if args.dtype == "df64":
-            print("error: --dtype df64 is single-chip only (use --shards 0)",
-                  file=sys.stderr)
-            return 2
         if args.topk or args.low_mem:
             print("error: --topk/--low-mem are single-chip modes",
                   file=sys.stderr)
             return 2
+        if args.dtype == "df64":
+            # f64-grade e^A.x over the row mesh: df64 two-pass Q-free
+            # Lanczos under shard_map (dist/lanczos_df.py) — the
+            # reference's one getopt surface drove its templated-double
+            # dual-GPU pipeline the same way (helpers.cu:31-63)
+            from tpu_lanczos.dist.lanczos_df import expm_action_df_sharded
+
+            if args.fmt not in ("best", "cpg") or args.reorthogonalize:
+                print("note: sharded df64 always runs the two-pass CPG "
+                      "pipeline (--fmt/--reorthogonalize ignored)",
+                      file=sys.stderr)
+            pack_kw = {}
+            if args.cpg_theta is not None:
+                pack_kw["theta"] = args.cpg_theta
+            if args.cpg_sub is not None:
+                pack_kw["sub"] = args.cpg_sub
+            if args.cpg_order != "auto":
+                pack_kw["order"] = args.cpg_order
+            mesh = make_mesh(args.shards)
+            res = expm_action_df_sharded(
+                g, k=k, mesh=mesh, log_scale=args.log_scale, **pack_kw)
+            ans, shift = res.ans, res.log_scale
+            t_device = time.time() - t0
+            print(f"{args.shards}-shard mesh pipeline (df64): "
+                  f"{t_device:.4f}s (includes compile on first run)")
+            if shift is not None:
+                print(f"  log-scale shift: {shift:.6f} "
+                      f"(true ans = ans * e^shift)")
+            if t_serial is not None and t_device > 0:
+                print(f"speedup vs serial: {t_serial / t_device:.2f}x")
+            if ans_serial is not None:
+                from tpu_lanczos.eval.check import check_ans
+
+                a = ans if shift is None else ans * np.exp(shift)
+                if np.all(np.isfinite(a)):
+                    print(f"device vs serial: {check_ans(a, ans_serial)}")
+            if args.verbose:
+                top = np.argsort(ans)[-10:][::-1]
+                print("top-10 central nodes:", ", ".join(map(str, top)))
+            if args.write_ans:
+                from tpu_lanczos.eval.check import write_ans
+
+                write_ans(ans, args.write_ans)
+                print(f"answer written to {args.write_ans}")
+            return 0
         if args.fmt == "cst":
             # the CST layout is single-chip only; silently running the
             # hybrid XLA format here would misattribute its numbers

@@ -775,38 +775,41 @@ def subgraph_centrality_sharded(
     fmt: str = "auto",
     ell_pct: float = 90.0,
 ) -> DiagResult:
-    """Subgraph centrality diag(e^A) on an N-chip row-sharded mesh:
-    every probe is one sharded e^A z action (dist/lanczos.py) and the
-    z * ans accumulator stays column-sharded on the mesh (one
-    permute_out at the end).  Deflation basis and corrections ride GSPMD
-    sharded matmuls.  Unlike the single-chip fused fori_loop, probes
-    here dispatch one sharded program each — the mesh analog keeps the
-    per-probe shard_map as the compilation unit — with the accumulator
-    synced every 8 probes to bound the async queue depth (the axon
-    deep-queue NaN hazard, see _probe_stats)."""
-    from tpu_lanczos.dist.cpg_sharded import ShardedCPG, lanczos_cpg_sharded
-    from tpu_lanczos.dist.lanczos import lanczos_sharded
+    """Subgraph centrality diag(e^A) on an N-chip row-sharded mesh: ALL
+    probes run inside ONE shard_map program (a fori_loop of sharded
+    Lanczos + replicated on-device (k, k) eigensolve + local multiply-
+    out + rank-m deflation correction + z * ans accumulation — the mesh
+    twin of the single-chip _diag_probes_device fusion;
+    dist.mesh.sharded_diag_probes_body).  One program per call instead
+    of one per probe: no per-probe dispatch overhead, no host syncs
+    until the single accumulator fetch.  Probe streams are shard-local
+    (key folded with the shard index), so estimates differ from the
+    single-chip probe sequence at the Monte-Carlo level while remaining
+    unbiased.  fmt="cpg"/"best"-on-TPU rides the Pallas CPG kernel."""
+    from tpu_lanczos.dist.cpg_sharded import (ShardedCPG,
+                                              diag_probes_cpg_sharded)
+    from tpu_lanczos.dist.lanczos import diag_probes_sharded
+    from tpu_lanczos.dist.mesh import ROWS
 
     dt = jnp.dtype(dtype)
     sg, mask = _sharded_setup(graph, mesh, fmt, dt, ell_pct)
     k = int(max(min(k, sg.n - 1), 1))
-    if isinstance(sg, ShardedCPG):
-        _interp = _cpg_interpret()
-        lz = lambda z: lanczos_cpg_sharded(sg, z, k, mesh,
-                                           interpret=_interp)
-    else:
-        lz = lambda z: lanczos_sharded(sg, z, k, mesh)
 
     defl = (_deflation_pairs_sharded(sg, mask, mesh, deflate, dt, seed,
                                      k_defl=k_deflate)
             if deflate > 0 else None)
+    n_pad = mask.shape[0]
     if defl is not None:
-        u_rows = defl.u_rows
+        u_rows = defl.u_rows.astype(dt)
         w_defl = jnp.asarray(np.exp(defl.theta - defl.shift).astype(dt))
         shift = defl.shift
         m_used = int(defl.theta.size)
     else:
-        u_rows = w_defl = None
+        P = jax.sharding.PartitionSpec
+        u_rows = jax.device_put(
+            jnp.zeros((0, n_pad), dtype=dt),
+            jax.sharding.NamedSharding(mesh, P(None, ROWS)))
+        w_defl = jnp.zeros((0,), dtype=dt)
         k_anchor = max(min(max(k, 10), sg.n - 1), 1)
         ab0 = _sharded_alphabeta_fn(sg, k_anchor, mesh)
         a0, b0, _ = jax.device_get(ab0(mask))
@@ -814,23 +817,17 @@ def subgraph_centrality_sharded(
         m_used = 0
 
     base = jax.random.key(seed)
+    shift_dev = jnp.asarray(shift, dtype=dt)
     acc_h = None
     for attempt in range(2):  # retry once on a transient device fault
-        acc = jnp.zeros_like(mask)
         key = jax.random.fold_in(base, attempt)
-        for i in range(probes):
-            z = _masked_rademacher(mask, jax.random.fold_in(key, i))
-            state = lz(z)
-            ans_scaled, sh = expmv.multiply_out(state, log_scale=True)
-            ans_s = ans_scaled * jnp.exp(sh - shift).astype(dt)
-            if m_used:
-                ans_s = ans_s - (w_defl * (u_rows @ z)) @ u_rows
-            acc = acc + z * ans_s
-            if (i + 1) % 8 == 0:  # bound in-flight depth (axon hazard)
-                acc.block_until_ready()
-        acc = acc / probes
-        if m_used:
-            acc = acc + jnp.einsum("m,mn->n", w_defl, u_rows * u_rows)
+        if isinstance(sg, ShardedCPG):
+            acc = diag_probes_cpg_sharded(
+                sg, mask, key, k, probes, mesh, u_rows, w_defl,
+                shift_dev, interpret=_cpg_interpret())
+        else:
+            acc = diag_probes_sharded(sg, mask, key, k, probes, mesh,
+                                      u_rows, w_defl, shift_dev)
         acc_h = np.asarray(jax.device_get(acc))
         if np.isfinite(acc_h).all():
             break

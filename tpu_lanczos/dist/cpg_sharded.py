@@ -541,6 +541,54 @@ def _alphabeta_cpg_shmap(mesh, levels, realmask, x, k, sub, c_loc,
     )(levels, realmask, x)
 
 
+@partial(jax.jit, static_argnames=(
+    "mesh", "k", "probes", "sub", "c_loc", "interpret", "t_reals",
+    "mask_sparse", "overlap"))
+def _diag_probes_cpg_shmap(mesh, levels, realmask, mask, key, u_rows,
+                           w_defl, shift, k, probes, sub, c_loc,
+                           interpret, t_reals=(), mask_sparse=(),
+                           overlap=False):
+    """One shard_map program running ALL diagonal probes over the CPG
+    kernel (see dist.mesh.sharded_diag_probes_body)."""
+    from tpu_lanczos.dist.mesh import sharded_diag_probes_body
+
+    P = jax.sharding.PartitionSpec
+
+    def shard_spec(v):
+        return P(ROWS, *([None] * (v.ndim - 1)))
+
+    level_specs = jax.tree.map(shard_spec, levels)
+
+    def f(levels_loc, realmask_loc, mask_loc, key, u_loc, w_defl, shift):
+        def local(q):
+            return _local_spmv(levels_loc, realmask_loc, q, sub, c_loc,
+                               interpret, t_reals, mask_sparse, overlap)
+
+        return sharded_diag_probes_body(local, mask_loc, key, k, probes,
+                                        u_loc, w_defl, shift)
+
+    return jax.shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(level_specs, P(ROWS), P(ROWS), P(), P(None, ROWS),
+                  P(), P()),
+        out_specs=P(ROWS),
+        check_vma=not interpret,
+    )(levels, realmask, mask, key, u_rows, w_defl, shift)
+
+
+def diag_probes_cpg_sharded(sg: ShardedCPG, mask, key, k: int,
+                            probes: int, mesh, u_rows, w_defl, shift,
+                            interpret: bool = False):
+    """Fused diagonal-probe accumulator over the row-sharded CPG kernel.
+    Returns the (n_pad,) scaled diagonal estimate, sharded over ROWS."""
+    return _diag_probes_cpg_shmap(
+        mesh, sg.levels, sg.realmask, mask, key, u_rows, w_defl, shift,
+        k=k, probes=probes, sub=sg.sub, c_loc=sg.c_loc,
+        interpret=interpret, t_reals=sg.t_reals,
+        mask_sparse=sg.mask_sparse, overlap=sg.overlap)
+
+
 def lanczos_alphabeta_cpg_sharded(sg: ShardedCPG, x: jnp.ndarray, k: int,
                                   mesh: jax.sharding.Mesh,
                                   interpret: bool = False):

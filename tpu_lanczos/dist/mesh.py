@@ -108,6 +108,53 @@ def sharded_lanczos_body(local_spmv, x_loc, k: int,
     return alpha, beta, q_basis, x_norm
 
 
+def sharded_diag_probes_body(local_spmv, mask_loc, key, k: int,
+                             probes: int, u_rows_loc, w_defl, shift):
+    """ALL diagonal-estimator probes in ONE shard_map program — the mesh
+    twin of core.stochastic._diag_probes_device: a fori_loop over
+    probes, each one a k-step sharded Lanczos (via ``local_spmv``), a
+    replicated on-device (k, k) tridiagonal eigensolve, the local slice
+    of the multiply-out GEMV, the rank-m deflation correction (psum'd
+    coefficients), and the z * ans accumulation, everything in
+    e^{-shift}-scaled space.  Runs INSIDE shard_map; one program per
+    estimator call instead of one per probe (round-4 weak item #2: the
+    per-probe dispatch paid a host RTT every 8 probes on the tunnel and
+    per-program overhead everywhere).
+
+    Probe vectors are generated shard-locally from ``key`` folded with
+    the probe index AND the shard index (distinct streams per shard —
+    identical streams would correlate z entries across shards and bias
+    E[z z^T] off the identity).  ``u_rows_loc`` (m, n_loc) is the
+    shard's column slice of the deflation basis; m may be 0.
+    Returns the local slice of diag_m + mean_i z_i * (e^A z_i - M z_i),
+    scaled by e^{-shift}."""
+    import jax.numpy as jnp
+
+    from tpu_lanczos.core import expmv, tridiag
+
+    dtype = mask_loc.dtype
+    key = jax.random.fold_in(key, jax.lax.axis_index(ROWS))
+
+    def body(i, acc):
+        z = mask_loc * jax.random.rademacher(
+            jax.random.fold_in(key, i), mask_loc.shape, dtype=dtype)
+        alpha, beta, q_basis, x_norm = sharded_lanczos_body(
+            local_spmv, z, k)
+        evals, evecs = tridiag.eigh_device(alpha, beta[: k - 1])
+        tmp, sh = expmv.coefficients(evals, evecs, x_norm)
+        ans_loc = jnp.dot(tmp, q_basis,
+                          precision=jax.lax.Precision.HIGHEST)
+        ans_s = ans_loc * jnp.exp(sh - shift).astype(dtype)
+        c = jax.lax.psum(u_rows_loc @ z, ROWS)  # (m,) u_j . z
+        ans_s = ans_s - (w_defl * c) @ u_rows_loc  # subtract (M z)_loc
+        return acc + z * ans_s
+
+    # zeros_like inherits mask_loc's device-varying type — no pcast
+    acc = jax.lax.fori_loop(0, probes, body, jnp.zeros_like(mask_loc))
+    diag_m = jnp.einsum("m,mn->n", w_defl, u_rows_loc * u_rows_loc)
+    return diag_m + acc / probes
+
+
 def sharded_alphabeta_body(local_spmv, x_loc, k: int):
     """Q-free variant of :func:`sharded_lanczos_body`: carries only
     (q, q_prev) — the mesh analog of core.lanczos.lanczos_alphabeta

@@ -318,6 +318,29 @@ def test_cli_sharded_df64(capsys):
     assert rel < 1e-12
 
 
+def test_cli_estrada_heat_kernel(capsys):
+    """--func heat:t --estrada N composes: general-f deflated trace."""
+    from tpu_lanczos.cli.main import main
+
+    rc = main(["-n", "500", "-b", "3", "-k", "40", "--dtype", "float64",
+               "--estrada", "32", "--func", "heat:1.0", "--deflate", "8"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "tr(exp(-1.0A))" in out
+    rel = float(out.split("rel err ")[1].split("\n")[0])
+    assert rel < 0.2
+
+
+def test_cli_estrada_func_guards():
+    from tpu_lanczos.cli.main import main
+
+    # --func is exp-only for --subgraph and for the sharded estimators
+    assert main(["-n", "200", "-e", "600", "--func", "heat:1.0",
+                 "--subgraph", "8"]) == 2
+    assert main(["-n", "200", "-e", "600", "--func", "heat:1.0",
+                 "--estrada", "8", "--shards", "2"]) == 2
+
+
 def test_cli_estrada_sharded_rejects_cst():
     from tpu_lanczos.cli.main import main
 

@@ -70,6 +70,38 @@ def test_trace_fa_tr_a_squared(ba200):
     assert r.stderr > 0
 
 
+def test_trace_fa_heat_deflated(ba200):
+    """General-f deflation: a heat-kernel trace deflates the BOTTOM of
+    the spectrum (|f(theta)|-ranked pair selection) and the stderr drops
+    accordingly — the Hutch++ claim generalized beyond exp."""
+    f = lambda ev: np.exp(-ev)
+    tr_true = oracle.trace_fa_dense(ba200, f)
+    r0 = stochastic.trace_fa(ba200, f=f, k=40, probes=32, deflate=0,
+                             seed=0, dtype="float64")
+    r8 = stochastic.trace_fa(ba200, f=f, k=40, probes=32, deflate=8,
+                             k_deflate=80, seed=0, dtype="float64")
+    assert r8.deflated == 8
+    # deflated pairs sit at the bottom: measured stderr 181 -> 35 (5.1x)
+    assert r8.stderr < r0.stderr / 3
+    assert abs(r8.estimate - tr_true) / tr_true < 0.05  # measured 9.1e-3
+    assert abs(r0.estimate - tr_true) / tr_true < 0.2
+
+
+def test_trace_fa_resolvent_deflated(ba200):
+    """Katz-style resolvent trace with deflation (mass at the TOP of the
+    spectrum near the pole)."""
+    sig = 10.0
+    f = lambda ev: 1.0 / (sig - ev)
+    tr_true = oracle.trace_fa_dense(ba200, f)
+    r0 = stochastic.trace_fa(ba200, f=f, k=40, probes=32, deflate=0,
+                             seed=0, dtype="float64")
+    r8 = stochastic.trace_fa(ba200, f=f, k=40, probes=32, deflate=8,
+                             seed=0, dtype="float64")
+    assert r8.deflated > 0
+    assert r8.stderr < r0.stderr / 3  # measured 0.455 -> 0.082 (5.5x)
+    assert abs(r8.estimate - tr_true) / tr_true < 0.05  # measured 2.3e-3
+
+
 def test_estrada_plain_hutchinson(ba200, tr_true):
     r = stochastic.estrada_index(ba200, k=40, probes=32, deflate=0,
                                  seed=0, dtype="float64")

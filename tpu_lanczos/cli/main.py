@@ -242,12 +242,18 @@ def _main(args) -> int:
 
     # ---------------- stochastic spectral estimators (--estrada/--subgraph)
     if args.estrada or args.subgraph:
-        if (args.topk or args.low_mem or args.func != "exp"
+        if (args.topk or args.low_mem
                 or args.dtype == "df64" or args.reorthogonalize
                 or args.ks or args.pipeline):
-            print("error: --estrada/--subgraph run the f32/f64 exp "
-                  "pipeline (no --topk/--low-mem/--func/df64/"
+            print("error: --estrada/--subgraph run the f32/f64 "
+                  "pipeline (no --topk/--low-mem/df64/"
                   "--reorthogonalize/--ks/--pipeline)", file=sys.stderr)
+            return 2
+        fa_est = _parse_func(args.func)
+        if fa_est is not None and (args.subgraph or args.shards):
+            print("error: --func composes with --estrada single-chip "
+                  "only (general-f trace rides trace_fa; --subgraph "
+                  "and --shards are exp-only)", file=sys.stderr)
             return 2
         from tpu_lanczos.core import stochastic
 
@@ -289,7 +295,27 @@ def _main(args) -> int:
                 dgc = _resolve_dg(g, args.fmt, args.ell_pct)
         if args.estrada:
             t0 = time.time()
-            if mesh is not None:
+            if fa_est is not None:
+                # general-f trace: tr(f(A)) by deflated Hutchinson with
+                # |f(theta)|-ranked Ritz deflation (heat kernels deflate
+                # the bottom of the spectrum, exp-like f the top)
+                f, label = fa_est
+                r = stochastic.trace_fa(
+                    g, f=f, k=k, probes=args.estrada,
+                    deflate=args.deflate, seed=args.seed,
+                    dtype=args.dtype, dg=dgc)
+                dt = time.time() - t0
+                print(f"tr({label}) ~= {r.estimate:.6e}")
+                print(f"  probes={r.probes} k={r.k} deflation rank="
+                      f"{r.deflated}  rel stderr={r.rel_stderr:.2e}  "
+                      f"[{dt:.4f}s incl. compile on first run]")
+                if not args.no_serial and g.n <= 4000:
+                    from tpu_lanczos.eval import oracle
+
+                    tr_true = oracle.trace_fa_dense(g, f)
+                    print(f"  dense oracle: {tr_true:.6e}   rel err "
+                          f"{abs(r.estimate - tr_true) / abs(tr_true):.3e}")
+            elif mesh is not None:
                 r = stochastic.estrada_index_sharded(
                     sg, k=k, probes=args.estrada, mesh=mesh,
                     deflate=args.deflate, seed=args.seed,
@@ -298,18 +324,19 @@ def _main(args) -> int:
                 r = stochastic.estrada_index(
                     g, k=k, probes=args.estrada, deflate=args.deflate,
                     seed=args.seed, dtype=args.dtype, dg=dgc)
-            dt = time.time() - t0
-            print(f"Estrada index tr(e^A) ~= {r.estimate:.6e}   "
-                  f"(log: {r.log_estimate:.6f})")
-            print(f"  probes={r.probes} k={r.k} deflation rank="
-                  f"{r.deflated}  rel stderr={r.rel_stderr:.2e}  "
-                  f"[{dt:.4f}s incl. compile on first run]")
-            if not args.no_serial and g.n <= 4000:
-                from tpu_lanczos.eval import oracle
+            if fa_est is None:
+                dt = time.time() - t0
+                print(f"Estrada index tr(e^A) ~= {r.estimate:.6e}   "
+                      f"(log: {r.log_estimate:.6f})")
+                print(f"  probes={r.probes} k={r.k} deflation rank="
+                      f"{r.deflated}  rel stderr={r.rel_stderr:.2e}  "
+                      f"[{dt:.4f}s incl. compile on first run]")
+                if not args.no_serial and g.n <= 4000:
+                    from tpu_lanczos.eval import oracle
 
-                tr_true = oracle.trace_expm_dense(g)
-                print(f"  dense oracle: {tr_true:.6e}   rel err "
-                      f"{abs(r.estimate - tr_true) / tr_true:.3e}")
+                    tr_true = oracle.trace_expm_dense(g)
+                    print(f"  dense oracle: {tr_true:.6e}   rel err "
+                          f"{abs(r.estimate - tr_true) / tr_true:.3e}")
         if args.subgraph:
             t0 = time.time()
             if mesh is not None:

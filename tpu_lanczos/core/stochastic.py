@@ -202,19 +202,27 @@ def _defl_depth(m: int, k_defl: int | None, n_cap: int):
 
 
 def _ritz_pairs_from(alpha, beta_full, q_basis, m: int, dtype,
-                     resid_rtol: float = 1e-2) -> _Deflation | None:
-    """Select the top-m converged Ritz pairs from a reorthogonalized run
-    whose FULL (k,) beta is available (slot k-1 = residual norm beta_k),
-    and form u_j = V[:, j]^T Q on the MXU.  Pairs with Ritz residual
-    ||A u - theta u|| = beta_k |V[k-1, j]| above ``resid_rtol *
-    max(|theta|, 1)`` are dropped (a loose filter is fine: the estimator
-    stays unbiased for ANY deflation basis — poor pairs only reduce less
-    variance).  Works for a single-chip (k, n_pad) basis and a
-    column-sharded one alike (GSPMD handles the sharded matmul/psum)."""
+                     resid_rtol: float = 1e-2,
+                     select=None) -> _Deflation | None:
+    """Select the m converged Ritz pairs ranked by ``select(evals)``
+    (default: the eigenvalues themselves — top of the spectrum, right
+    for f = exp) from a reorthogonalized run whose FULL (k,) beta is
+    available (slot k-1 = residual norm beta_k), and form
+    u_j = V[:, j]^T Q on the MXU.  For general f pass
+    ``select=lambda ev: np.abs(f(ev))`` so the pairs where f(A) carries
+    its mass are deflated (a heat kernel's mass sits at the BOTTOM of
+    the spectrum).  Pairs with Ritz residual ||A u - theta u|| =
+    beta_k |V[k-1, j]| above ``resid_rtol * max(|theta|, 1)`` are
+    dropped (a loose filter is fine: the estimator stays unbiased for
+    ANY deflation basis — poor pairs only reduce less variance).  Works
+    for a single-chip (k, n_pad) basis and a column-sharded one alike
+    (GSPMD handles the sharded matmul/psum)."""
     k_defl = int(alpha.shape[0])
     evals, evecs = tridiag.eigh_host(alpha, beta_full[: k_defl - 1])
     b_last = abs(float(beta_full[k_defl - 1]))  # residual norm beta_k
-    idx = np.argsort(evals)[::-1][:m]
+    rank = (evals if select is None
+            else np.asarray(select(evals), np.float64))
+    idx = np.argsort(rank)[::-1][:m]
     resid = b_last * np.abs(evecs[-1, idx])
     keep = idx[resid <= resid_rtol * np.maximum(np.abs(evals[idx]), 1.0)]
     if keep.size == 0:
@@ -240,7 +248,8 @@ def _deflation_warn(stacklevel: int = 4):
 
 def _deflation_pairs(dg, mask, m: int, dtype, seed: int, spmv_impl: str,
                      resid_rtol: float = 1e-2,
-                     k_defl: int | None = None) -> _Deflation | None:
+                     k_defl: int | None = None,
+                     select=None) -> _Deflation | None:
     """Single-chip deflation: one reorthogonalized Lanczos run (via
     lanczos_init + lanczos_range, whose carry keeps the FULL (k,) beta
     that lanczos() discards) feeding :func:`_ritz_pairs_from`.
@@ -270,7 +279,8 @@ def _deflation_pairs(dg, mask, m: int, dtype, seed: int, spmv_impl: str,
     else:
         _deflation_warn()
         return None
-    return _ritz_pairs_from(alpha, beta, q_basis, m, dtype, resid_rtol)
+    return _ritz_pairs_from(alpha, beta, q_basis, m, dtype, resid_rtol,
+                            select=select)
 
 
 # -------------------------------------------------------------------- trace
@@ -303,6 +313,8 @@ def trace_fa(
     k: int = 30,
     probes: int = 32,
     *,
+    deflate: int = 0,
+    k_deflate: int | None = None,
     seed: int = 0,
     dtype: str | jnp.dtype = "float32",
     fmt: str = "auto",
@@ -314,27 +326,54 @@ def trace_fa(
     each resolved with a k-point Lanczos quadrature (one Q-free
     alpha/beta pass per probe — O(n) device memory total).
 
-    Plain linear-space combiner for arbitrary f; use
-    :func:`estrada_index` for f = exp (overflow-safe + deflated)."""
+    ``deflate=m`` subtracts the rank-m Ritz part
+    M = sum_j f(theta_j) u_j u_j^T deterministically and probes only the
+    residual — the estimator is unbiased for ANY M (exactly the
+    estrada_index argument, f-agnostic), and its variance is that of
+    f(A) - M.  Pairs are ranked by |f(theta)| so the deflated rays are
+    where f(A)'s mass actually sits (the bottom of the spectrum for a
+    heat kernel f = e^{-t*lambda}, both edges for even f, the top for
+    growing f).  Plain linear-space combiner for arbitrary f; use
+    :func:`estrada_index` for f = exp at scale (overflow-safe shifted
+    space)."""
     from tpu_lanczos.core.pipeline import _resolve_dg, _start_vector
 
     k = int(max(min(k, graph.n - 1), 1))
     if dg is None:
         dg = _resolve_dg(graph, fmt, ell_pct)
     mask = _start_vector(dg, graph, jnp.dtype(dtype), None)
+    defl = (_deflation_pairs(dg, mask, deflate, jnp.dtype(dtype), seed,
+                             spmv_impl, k_defl=k_deflate,
+                             select=lambda ev: np.abs(
+                                 np.asarray(f(ev), np.float64)))
+            if deflate > 0 else None)
     ab = lambda z: lanczos_alphabeta(dg, z, k, spmv_impl=spmv_impl)
-    stats, dropped = _probe_stats(ab, mask, probes, seed)
-    vals = np.array([
-        gauss_quadrature(a, b[: k - 1], float(xn) ** 2, f)
-        for a, b, xn, _ in stats
-    ])
+    if defl is None:
+        stats, dropped = _probe_stats(ab, mask, probes, seed)
+        vals = np.array([
+            gauss_quadrature(a, b[: k - 1], float(xn) ** 2, f)
+            for a, b, xn, _ in stats
+        ])
+        tr_m = 0.0
+        m_used = 0
+    else:
+        fe = np.asarray(f(defl.theta), np.float64)  # (m,)
+        tr_m = float(np.dot(fe, defl.u_norm_sq))    # tr(M)
+        stats, dropped = _probe_stats(ab, mask, probes, seed,
+                                      u_rows=defl.u_rows)
+        vals = np.array([
+            gauss_quadrature(a, b[: k - 1], float(xn) ** 2, f)
+            - float(np.dot(fe, np.asarray(c, np.float64) ** 2))
+            for a, b, xn, c in stats
+        ])  # z^T f(A) z - z^T M z per probe
+        m_used = int(defl.theta.size)
     n_used = vals.size
-    est = float(vals.mean())
+    est = tr_m + float(vals.mean())
     se = float(vals.std(ddof=1) / np.sqrt(n_used)) if n_used > 1 else 0.0
     return TraceResult(estimate=est, stderr=se, log_estimate=None,
                        rel_stderr=se / abs(est) if est else np.inf,
                        per_probe=vals, probes=n_used, k=k,
-                       dropped=dropped)
+                       deflated=m_used, dropped=dropped)
 
 
 def _estrada_estimate(alphabeta_fn, mask, probes: int, seed: int, k: int,

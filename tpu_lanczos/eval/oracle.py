@@ -138,6 +138,14 @@ def trace_expm_dense(graph: CSRGraph) -> float:
     return float(np.exp(evals).sum())
 
 
+def trace_fa_dense(graph: CSRGraph, f) -> float:
+    """Ground-truth tr(f(A)) = sum_i f(lambda_i) by dense
+    eigendecomposition (small graphs only) — oracle for the general-f
+    stochastic trace estimator (core/stochastic.py trace_fa)."""
+    evals = np.linalg.eigvalsh(graph.to_scipy().toarray())
+    return float(np.asarray(f(evals), dtype=np.float64).sum())
+
+
 def diag_expm_dense(graph: CSRGraph) -> np.ndarray:
     """Ground-truth subgraph centrality diag(e^A) by dense
     eigendecomposition (small graphs only) — oracle for the stochastic

@@ -109,6 +109,108 @@ def test_checkpoint_rejects_mismatched_run(tmp_path):
         run_fingerprint(dg_b, np.float64, k, True, "auto")
 
 
+def test_df64_alphabeta_checkpoint_bit_identical(tmp_path):
+    """df64 pass-1 checkpoint (the europe-scale long stage): a chunked +
+    interrupted + resumed run reproduces the one-shot pass bit-for-bit
+    on both the hi and lo streams."""
+    import jax.numpy as jnp
+
+    from tpu_lanczos.core.checkpoint import (
+        AlphaBetaDFCheckpoint, lanczos_alphabeta_df_checkpointed,
+    )
+    from tpu_lanczos.core.lanczos_df import lanczos_alphabeta_df
+    from tpu_lanczos.kernels.cpg import pack_cpg
+
+    g = generators.barabasi_albert(2000, 5, seed=2, use_native=False)
+    cg = pack_cpg(g)
+    x_hi = cg.realmask.astype(jnp.float32)
+    x_lo = jnp.zeros_like(x_hi)
+    k = 24
+    p = str(tmp_path / "df.npz")
+
+    a_ref, b_ref, xn_ref = lanczos_alphabeta_df(cg, x_hi, x_lo, k,
+                                                interpret=True)
+    # chunked fresh run
+    a1, b1, xn1 = lanczos_alphabeta_df_checkpointed(
+        cg, x_hi, x_lo, k, checkpoint_path=p, chunk=7, interpret=True)
+    assert AlphaBetaDFCheckpoint.load(p).j_done == k
+    for got, ref in ((a1, a_ref), (b1, b_ref), (xn1, xn_ref)):
+        np.testing.assert_array_equal(np.asarray(got[0]),
+                                      np.asarray(ref[0]))
+        np.testing.assert_array_equal(np.asarray(got[1]),
+                                      np.asarray(ref[1]))
+    # simulate preemption: rewind the snapshot cursor to a mid-run state
+    # by re-running only 2 chunks, then resume
+    snap = AlphaBetaDFCheckpoint.load(p)
+    from tpu_lanczos.core.lanczos_df import (
+        _alphabeta_df_init_dev, lanczos_alphabeta_df_range,
+    )
+
+    q0h, q0l, _, _ = _alphabeta_df_init_dev(x_hi, x_lo)
+    zk = jnp.zeros((k,), jnp.float32)
+    carry = (q0h, q0l, jnp.zeros_like(q0h), jnp.zeros_like(q0h),
+             zk, zk, zk, zk)
+    carry = lanczos_alphabeta_df_range(cg, carry, 0, 14, interpret=True)
+    host = [np.asarray(c) for c in carry]
+    AlphaBetaDFCheckpoint(
+        j_done=14, k=k,
+        **dict(zip(AlphaBetaDFCheckpoint._FIELDS, host)),
+        xnh=snap.xnh, xnl=snap.xnl, fingerprint=snap.fingerprint,
+    ).save(p)
+    a2, b2, _ = lanczos_alphabeta_df_checkpointed(
+        cg, x_hi, x_lo, k, checkpoint_path=p, chunk=7, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a2[0]), np.asarray(a_ref[0]))
+    np.testing.assert_array_equal(np.asarray(a2[1]), np.asarray(a_ref[1]))
+    np.testing.assert_array_equal(np.asarray(b2[0]), np.asarray(b_ref[0]))
+
+
+def test_df64_checkpoint_rejects_different_start(tmp_path):
+    """A df64 pass-1 snapshot written for one start vector must not be
+    resumed for another (fingerprint covers head crc + exact norm)."""
+    import jax.numpy as jnp
+
+    from tpu_lanczos.core.checkpoint import (
+        lanczos_alphabeta_df_checkpointed,
+    )
+    from tpu_lanczos.core.lanczos_df import (
+        lanczos_alphabeta_df, split_f64,
+    )
+    from tpu_lanczos.kernels.cpg import pack_cpg
+
+    g = generators.uniform_random(1000, 4000, seed=3)
+    cg = pack_cpg(g)
+    k = 16
+    p = str(tmp_path / "df.npz")
+    x1h = cg.realmask.astype(jnp.float32)
+    x1l = jnp.zeros_like(x1h)
+    lanczos_alphabeta_df_checkpointed(cg, x1h, x1l, k,
+                                      checkpoint_path=p, chunk=5,
+                                      interpret=True)
+    x2 = np.ones(g.n)
+    x2[0] = 2.0
+    hi, lo = split_f64(cg.permute_in(x2, np.float64))
+    x2h, x2l = jnp.asarray(hi), jnp.asarray(lo)
+    a2, b2, _ = lanczos_alphabeta_df_checkpointed(
+        cg, x2h, x2l, k, checkpoint_path=p, chunk=5, interpret=True)
+    a_ref, b_ref, _ = lanczos_alphabeta_df(cg, x2h, x2l, k,
+                                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(a2[0]), np.asarray(a_ref[0]))
+    np.testing.assert_array_equal(np.asarray(b2[0]), np.asarray(b_ref[0]))
+
+
+def test_expm_action_df_checkpointed_matches(tmp_path):
+    """expm_action_df(checkpoint_path=...) equals the plain df64 run."""
+    from tpu_lanczos.core.lanczos_df import expm_action_df
+
+    g = generators.uniform_random(800, 3200, seed=4)
+    r_plain = expm_action_df(g, k=20)
+    r_ck = expm_action_df(g, k=20,
+                          checkpoint_path=str(tmp_path / "c.npz"),
+                          checkpoint_chunk=6)
+    np.testing.assert_array_equal(r_ck.ans, r_plain.ans)
+    np.testing.assert_array_equal(r_ck.alpha, r_plain.alpha)
+
+
 def test_checkpointed_pipeline_answer(tmp_path):
     g = generators.uniform_random(400, 1200, seed=5)
     dg = pack(g)

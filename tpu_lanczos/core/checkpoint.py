@@ -7,6 +7,20 @@ none in-algorithm ... a genuine improvement slot').  Here the full loop
 carry (q, q_prev, partial Q/alpha/beta and the iteration cursor) is
 persisted, so a long decomposition on a preemptible TPU can restart from
 the last completed chunk, bit-identically to an uninterrupted run.
+
+Scope:
+
+- ``lanczos_checkpointed`` — the single-chip STORED-Q path (f32/f64),
+  O(k*n) snapshot.
+- ``lanczos_alphabeta_df_checkpointed`` — pass 1 of the df64 two-pass
+  mode (the long sequential stage of a europe-scale f64-grade run),
+  O(n) snapshot: two (hi, lo) vector pairs + the coefficient buffers.
+  Pass 2 (the recombine sweep) restarts fresh on resume — it is the
+  same length but needs pass 1's full coefficients first, so a pass-1
+  checkpoint already halves the worst-case lost work; its carry could
+  be persisted the same way if the need arises.
+- Sharded (multi-chip) runs do NOT checkpoint: each shard would need a
+  coordinated snapshot of its local carry; restart them from scratch.
 """
 
 from __future__ import annotations
@@ -169,3 +183,126 @@ def lanczos_checkpointed(
         alpha=alpha, beta=beta[: k - 1], q_basis=q_basis,
         x_norm=jnp.asarray(x_norm, dtype=alpha.dtype),
     )
+
+
+@dataclasses.dataclass
+class AlphaBetaDFCheckpoint:
+    """Host snapshot of the df64 alpha/beta carry after ``j_done``
+    iterations: (q, q_prev) as (hi, lo) f32 pairs + the coefficient
+    buffers + the df x_norm.  O(n) on disk (no basis is stored — the
+    two-pass mode's defining property)."""
+
+    j_done: int
+    k: int
+    qh: np.ndarray
+    ql: np.ndarray
+    ph: np.ndarray
+    pl: np.ndarray
+    ah: np.ndarray
+    al: np.ndarray
+    bh: np.ndarray
+    bl: np.ndarray
+    xnh: float
+    xnl: float
+    fingerprint: str = ""
+
+    _FIELDS = ("qh", "ql", "ph", "pl", "ah", "al", "bh", "bl")
+
+    def save(self, path: str) -> None:
+        tmp_fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(os.path.abspath(path)) or ".", suffix=".tmp"
+        )
+        os.close(tmp_fd)
+        np.savez(
+            tmp, j_done=self.j_done, k=self.k,
+            xnh=self.xnh, xnl=self.xnl, fingerprint=self.fingerprint,
+            **{f: getattr(self, f) for f in self._FIELDS},
+        )
+        os.replace(tmp + ".npz", path)  # atomic: no torn checkpoints
+        os.unlink(tmp) if os.path.exists(tmp) else None
+
+    @staticmethod
+    def load(path: str) -> "AlphaBetaDFCheckpoint":
+        z = np.load(path)
+        return AlphaBetaDFCheckpoint(
+            j_done=int(z["j_done"]), k=int(z["k"]),
+            xnh=float(z["xnh"]), xnl=float(z["xnl"]),
+            fingerprint=str(z["fingerprint"]) if "fingerprint" in z else "",
+            **{f: z[f] for f in AlphaBetaDFCheckpoint._FIELDS},
+        )
+
+    def carry(self):
+        return tuple(jnp.asarray(getattr(self, f)) for f in self._FIELDS)
+
+
+def lanczos_alphabeta_df_checkpointed(
+    cg,
+    x_hi: jnp.ndarray,
+    x_lo: jnp.ndarray,
+    k: int,
+    *,
+    checkpoint_path: str,
+    chunk: int = 16,
+    interpret: bool = False,
+):
+    """df64 pass 1 (alpha/beta) persisting the O(n) carry every
+    ``chunk`` iterations — checkpoint/resume for the long sequential
+    stage of a europe-scale f64-grade run (the reference's closest case
+    is the EuropeOSM streaming-Q study, writeup §9.2, which had to run
+    uninterrupted).  Returns ``(alpha, beta, x_norm)`` as (hi, lo)
+    pairs, exactly like ``lanczos_alphabeta_df``; a resumed run is
+    bit-identical to an uninterrupted one (same ops in the same order —
+    the df64 EFTs are contraction-proof, core/df64.py)."""
+    from tpu_lanczos.core.lanczos_df import (
+        _alphabeta_df_init_dev,
+        lanczos_alphabeta_df_range,
+    )
+
+    import zlib
+
+    # start-vector identity without an O(n) D2H: crc of the head slice
+    # plus the exact df norm (computed on device either way — the init
+    # program is tiny).  A different x with identical head AND norm is
+    # negligible; a false mismatch only forces a safe restart.
+    q0h, q0l, xnh0, xnl0 = _alphabeta_df_init_dev(x_hi, x_lo)
+    head = min(int(cg.n_pad), 65536)
+    x_crc = (zlib.crc32(np.ascontiguousarray(x_hi[:head]).tobytes())
+             ^ zlib.crc32(np.ascontiguousarray(x_lo[:head]).tobytes()))
+    fp = (run_fingerprint(cg, np.float32, k, False, "cpg-df64")
+          + f":xdf={x_crc:08x}:xn={float(xnh0):.9e}")
+    ckpt = None
+    if os.path.exists(checkpoint_path):
+        try:
+            cand = AlphaBetaDFCheckpoint.load(checkpoint_path)
+        except Exception:
+            cand = None  # corrupt snapshot -> fresh run (module guarantee)
+        if (cand is not None and cand.fingerprint == fp and cand.k == k
+                and cand.qh.shape[0] == cg.n_pad):
+            ckpt = cand
+
+    if ckpt is None:
+        zk = jnp.zeros((k,), jnp.float32)
+        zv = jnp.zeros_like(q0h)
+        carry = (q0h, q0l, zv, zv, zk, zk, zk, zk)
+        xnh, xnl = float(xnh0), float(xnl0)
+        j = 0
+    else:
+        carry = ckpt.carry()
+        xnh, xnl = ckpt.xnh, ckpt.xnl
+        j = ckpt.j_done
+
+    while j < k:
+        j1 = min(j + chunk, k)
+        carry = lanczos_alphabeta_df_range(cg, carry, j, j1,
+                                           interpret=interpret)
+        j = j1
+        host = [np.asarray(c) for c in carry]
+        AlphaBetaDFCheckpoint(
+            j_done=j, k=k,
+            **dict(zip(AlphaBetaDFCheckpoint._FIELDS, host)),
+            xnh=xnh, xnl=xnl, fingerprint=fp,
+        ).save(checkpoint_path)
+
+    _, _, _, _, ah, al, bh, bl = carry
+    xn = (jnp.asarray(xnh, jnp.float32), jnp.asarray(xnl, jnp.float32))
+    return (ah, al), (bh, bl), xn

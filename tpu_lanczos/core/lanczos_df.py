@@ -71,6 +71,45 @@ def lanczos_alphabeta_df(cg: CPGGraph, x_hi, x_lo, k: int,
     return (ah, al), (bh, bl), x_norm
 
 
+@jax.jit
+def _alphabeta_df_init_dev(x_hi, x_lo):
+    """Normalized df64 start state (q0_hi, q0_lo, xn_hi, xn_lo) — the
+    init stage of lanczos_alphabeta_df, exposed for the checkpointed
+    chunked runner (core/checkpoint.py)."""
+    x = (x_hi, x_lo)
+    x_norm = df.df_norm(x)
+    inv = df.df_div(df.df_from(jnp.float32(1.0)), x_norm)
+    q0 = df.df_scale(inv, x)
+    return q0[0], q0[1], x_norm[0], x_norm[1]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def lanczos_alphabeta_df_range(cg: CPGGraph, carry, j0, j1,
+                               interpret: bool = False):
+    """Iterations [j0, j1) of the df64 alpha/beta recurrence on a carry
+    ``(qh, ql, ph, pl, ah, al, bh, bl)`` with k-sized coefficient
+    buffers — the df64 twin of core.lanczos.lanczos_range, used by
+    checkpoint/resume for europe-scale df64 runs (the two-pass mode's
+    pass 1 is the long sequential stage).  ``j0``/``j1`` may be traced:
+    one compilation serves any chunk.  Identical ops in identical order
+    to lanczos_alphabeta_df's body, so a chunked run reproduces the
+    one-shot pass bit-for-bit."""
+    def body(j, carry):
+        qh, ql, ph, pl_, ah, al, bh, bl = carry
+        jm = jnp.maximum(j - 1, 0)
+        b_prev = (jnp.where(j > 0, bh[jm], 0.0),
+                  jnp.where(j > 0, bl[jm], 0.0))
+        a, b, q_next = _body_core(cg, (qh, ql), (ph, pl_), b_prev,
+                                  interpret)
+        ah = ah.at[j].set(a[0])
+        al = al.at[j].set(a[1])
+        bh = bh.at[j].set(b[0])
+        bl = bl.at[j].set(b[1])
+        return (q_next[0], q_next[1], qh, ql, ah, al, bh, bl)
+
+    return jax.lax.fori_loop(j0, j1, body, carry)
+
+
 @partial(jax.jit, static_argnames=("k", "interpret"))
 def lanczos_recombine_df(cg: CPGGraph, x_hi, x_lo, coeff_hi, coeff_lo,
                          k: int, interpret: bool = False):
@@ -159,11 +198,19 @@ def split_f64(a: np.ndarray):
 
 def expm_action_df(graph, x: np.ndarray | None = None, k: int = 50, *,
                    dg: CPGGraph | None = None, log_scale: bool = False,
-                   interpret: bool | None = None):
+                   interpret: bool | None = None,
+                   checkpoint_path: str | None = None,
+                   checkpoint_chunk: int = 16):
     """f64-grade e^A.x on TPU: df64 two-pass Lanczos + host LAPACK eig.
 
     Returns a :class:`tpu_lanczos.core.pipeline.LanczosResult` whose
     ``ans``/``alpha``/``beta`` are float64 (hi + lo collapsed on host).
+
+    ``checkpoint_path`` persists pass 1's O(n) carry every
+    ``checkpoint_chunk`` iterations and resumes from a compatible
+    snapshot (core/checkpoint.py lanczos_alphabeta_df_checkpointed) —
+    for europe-scale runs on preemptible devices.  Pass 2 restarts
+    fresh; see the checkpoint module docstring for scope.
     """
     from tpu_lanczos.core import expmv, tridiag
     from tpu_lanczos.core.pipeline import LanczosResult
@@ -184,8 +231,17 @@ def expm_action_df(graph, x: np.ndarray | None = None, k: int = 50, *,
                                          np.float64))
         x_hi, x_lo = jnp.asarray(hi), jnp.asarray(lo)
 
-    alpha, beta, x_norm = lanczos_alphabeta_df(dg, x_hi, x_lo, k,
-                                               interpret=interpret)
+    if checkpoint_path is not None:
+        from tpu_lanczos.core.checkpoint import (
+            lanczos_alphabeta_df_checkpointed,
+        )
+
+        alpha, beta, x_norm = lanczos_alphabeta_df_checkpointed(
+            dg, x_hi, x_lo, k, checkpoint_path=checkpoint_path,
+            chunk=checkpoint_chunk, interpret=interpret)
+    else:
+        alpha, beta, x_norm = lanczos_alphabeta_df(dg, x_hi, x_lo, k,
+                                                   interpret=interpret)
     alpha64 = df.df_to_f64((np.asarray(alpha[0]), np.asarray(alpha[1])))
     beta64 = df.df_to_f64((np.asarray(beta[0]), np.asarray(beta[1])))[: k - 1]
     xn64 = float(df.df_to_f64((np.asarray(x_norm[0]), np.asarray(x_norm[1]))))

@@ -68,6 +68,44 @@ def main() -> int:
     beta = np.asarray(st.beta)
     assert np.all(np.isfinite(alpha)) and np.all(np.isfinite(beta))
     np.save(os.path.join(outdir, f"alpha_{pid}.npy"), alpha)
+
+    # ---- CPG-sharded path (Pallas kernel in interpret mode) across the
+    # same process boundary: the production kernel's collectives (halo
+    # all_gather, compact reduce exchanges, psum'd dots) cross DCN
+    from tpu_lanczos.dist.cpg_sharded import (
+        pack_cpg_sharded, lanczos_cpg_sharded,
+    )
+
+    scg = pack_cpg_sharded(g, 4, mesh=None)  # host-backed arrays
+    glob_levels = tuple(
+        {k: glob(v, (ROWS,) + (None,) * (np.asarray(v).ndim - 1))
+         for k, v in lv.items()}
+        for lv in scg.levels
+    )
+    scg = dataclasses.replace(
+        scg, levels=glob_levels, realmask=glob(scg.realmask, (ROWS,)))
+    x2 = glob(scg.permute_in(np.ones(g.n), np.float32), (ROWS,))
+    st2 = lanczos_cpg_sharded(scg, x2, 8, mesh, interpret=True)
+    alpha_cpg = np.asarray(st2.alpha)  # replicated
+    assert np.all(np.isfinite(alpha_cpg))
+    np.save(os.path.join(outdir, f"alpha_cpg_{pid}.npy"), alpha_cpg)
+
+    # ---- df64-sharded step (exact df cross-shard folds) across the
+    # boundary: drive the shmap directly — alpha/beta come back
+    # replicated (fully addressable); the full pipeline's answer fetch
+    # assumes addressable shards and is a single-process surface
+    from tpu_lanczos.dist.lanczos_df import _alphabeta_df_shmap
+
+    xh = glob(scg.permute_in(np.ones(g.n), np.float64).astype(np.float32),
+              (ROWS,))
+    xl = glob(np.zeros(scg.n_pad, np.float32), (ROWS,))
+    ah, al, bh, bl, xnh, xnl = _alphabeta_df_shmap(
+        mesh, scg.levels, scg.realmask, xh, xl, k=8, sub=scg.sub,
+        c_loc=scg.c_loc, interpret=True, t_reals=scg.t_reals,
+        mask_sparse=scg.mask_sparse, overlap=scg.overlap, n_shards=4)
+    ah_h = np.asarray(ah)
+    assert np.all(np.isfinite(ah_h)) and np.all(np.isfinite(np.asarray(bh)))
+    np.save(os.path.join(outdir, f"alpha_df_{pid}.npy"), ah_h)
     print("MULTIHOST_OK", pid, flush=True)
     return 0
 

@@ -61,3 +61,13 @@ def test_two_process_distributed_lanczos(tmp_path):
     a1 = np.load(tmp_path / "alpha_1.npy")
     np.testing.assert_array_equal(a0, a1)  # replicated output agrees
     assert a0.shape == (12,)
+    # CPG-sharded (Pallas interpret) across the same boundary
+    c0 = np.load(tmp_path / "alpha_cpg_0.npy")
+    c1 = np.load(tmp_path / "alpha_cpg_1.npy")
+    np.testing.assert_array_equal(c0, c1)
+    assert c0.shape == (8,)
+    # df64-sharded (exact df folds) across the boundary
+    d0 = np.load(tmp_path / "alpha_df_0.npy")
+    d1 = np.load(tmp_path / "alpha_df_1.npy")
+    np.testing.assert_array_equal(d0, d1)
+    assert d0.shape == (8,)

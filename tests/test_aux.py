@@ -420,6 +420,25 @@ def test_cli_sharded_df64(capsys):
     assert rel < 1e-12
 
 
+def test_cli_topk_fused_and_host(capsys):
+    """--topk serves via the fused one-program path by default (--eig
+    device) and via the split host-LAPACK path on request; both agree
+    on the top nodes."""
+    from tpu_lanczos.cli.main import main
+
+    rc = main(["-n", "800", "-b", "4", "-k", "20", "--topk", "5",
+               "--no-serial"])
+    assert rc == 0
+    out_dev = capsys.readouterr().out
+    assert "top-5 nodes:" in out_dev
+    rc = main(["-n", "800", "-b", "4", "-k", "20", "--topk", "5",
+               "--no-serial", "--eig", "host"])
+    assert rc == 0
+    out_host = capsys.readouterr().out
+    nodes = lambda s: s.split("top-5 nodes: ")[1].split("\n")[0]
+    assert nodes(out_dev) == nodes(out_host)
+
+
 def test_cli_estrada_heat_kernel(capsys):
     """--func heat:t --estrada N composes: general-f deflated trace."""
     from tpu_lanczos.cli.main import main

@@ -174,6 +174,28 @@ def test_expm_action_summary_matches_full():
     assert abs(s.log_scale - full.log_scale) < 1e-5
 
 
+def test_expm_action_summary_fused_device_eig():
+    """eig_impl='device' fuses the whole query into one program; on CPU
+    the device eigh is LAPACK-grade, so it matches the host-eig summary
+    almost exactly (on TPU its f32 floor is recorded in the serving
+    bench, eval/fused_serving.py)."""
+    from tpu_lanczos.core.pipeline import expm_action_summary
+
+    g = generators.barabasi_albert(3000, 6, seed=11, use_native=False)
+    s_h = expm_action_summary(g, k=30, topk=10, dtype="float32",
+                              fmt="auto", eig_impl="host")
+    s_d = expm_action_summary(g, k=30, topk=10, dtype="float32",
+                              fmt="auto", eig_impl="device")
+    assert set(s_d.top_nodes.tolist()) == set(s_h.top_nodes.tolist())
+    v_d = np.asarray(s_d.top_values, np.float64) * np.exp(
+        s_d.log_scale - s_h.log_scale)
+    np.testing.assert_allclose(v_d, s_h.top_values, rtol=1e-5)
+    np.testing.assert_allclose(
+        s_d.ans_norm * np.exp(s_d.log_scale - s_h.log_scale),
+        s_h.ans_norm, rtol=1e-5)
+    np.testing.assert_allclose(s_d.alpha, s_h.alpha, rtol=1e-6, atol=1e-6)
+
+
 def test_expm_action_summary_cpg_permuted():
     """Summary top-node mapping is correct under CPG's permuted layout."""
     from tpu_lanczos.core.pipeline import expm_action_summary

@@ -99,6 +99,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="summary mode: reduce the answer ON DEVICE to its "
                         "top-K entries + norm (O(K) transfer) instead of "
                         "pulling the full vector")
+    p.add_argument("--eig", default="device", choices=["device", "host"],
+                   help="--topk eigensolver: 'device' (default) fuses the "
+                        "whole query into ONE program — bn1M k=50 single-"
+                        "run 0.23 s = 1.9x the reference whole pipeline, "
+                        "top-20 ranking exact, values within ~3e-5 of the "
+                        "host-LAPACK path (suite_full.jsonl "
+                        "whole_fused_topk row); 'host' keeps f64 LAPACK "
+                        "coefficients at one extra sync + dispatch")
     p.add_argument("--low-mem", action="store_true",
                    help="two-pass Q-free Lanczos: O(n) device memory "
                         "instead of O(k*n) (large single-chip graphs)")
@@ -553,7 +561,8 @@ def _main(args) -> int:
                 return 0
             srs = expm_action_summary(g, k=k, topk=args.topk, fmt=args.fmt,
                                       dtype=args.dtype, dg=dg,
-                                      ell_pct=args.ell_pct)
+                                      ell_pct=args.ell_pct,
+                                      eig_impl=args.eig)
             t_device = time.time() - t0
             print(f"device summary pipeline: {t_device:.4f}s "
                   f"(includes compile on first run)")

@@ -72,6 +72,26 @@ def _summary_gemv(tmp, q_basis, mask, topk: int):
     return nrm, vals, idx
 
 
+@partial(jax.jit, static_argnames=("k", "topk", "spmv_impl"))
+def _fused_summary_program(dg, x, mask, k: int, topk: int,
+                           spmv_impl: str = "auto"):
+    """The WHOLE serving query as ONE device program: Lanczos + device
+    (k, k) eigensolve + multiply-out GEMV + masked top-k.  Zero
+    mid-pipeline host syncs — the host-eig split pays a coefficient
+    fetch sync plus a separate GEMV dispatch+fence (~0.067 s combined
+    through the testbed tunnel, round-4 stage table in docs/DESIGN.md);
+    here the only sync is the final O(topk) result fetch.  Accuracy
+    rides the device eigh (QDWH on TPU, f32-level floor ~1e-6 on the
+    coefficients) instead of host LAPACK f64 — measured delta on the
+    top-k values is recorded in suite_full.jsonl whole_fused_topk rows."""
+    state = lanczos(dg, x, k, spmv_impl=spmv_impl)
+    ans_scaled, shift = expmv.multiply_out(state, log_scale=True)
+    nrm = jnp.linalg.norm(ans_scaled)
+    neg = jnp.asarray(jnp.finfo(ans_scaled.dtype).min, ans_scaled.dtype)
+    vals, idx = jax.lax.top_k(jnp.where(mask > 0, ans_scaled, neg), topk)
+    return nrm, vals, idx, shift, state.alpha, state.beta, state.x_norm
+
+
 def expm_action_summary(
     graph: CSRGraph,
     x: np.ndarray | None = None,
@@ -83,12 +103,20 @@ def expm_action_summary(
     spmv_impl: str = "auto",
     dg: DeviceGraph | None = None,
     ell_pct: float = 98.0,
+    eig_impl: str = "host",
 ) -> SummaryResult:
     """Pipeline variant that reduces the answer ON DEVICE to its top-k
     entries + norm, so the device->host transfer is O(topk) instead of
     O(n).  Serving-style output: the highest-centrality vertices under
     the e^A.1 exponential-centrality measure (the quantity the
-    reference's check_ans reports, check_ans.cu max/idx metrics)."""
+    reference's check_ans reports, check_ans.cu max/idx metrics).
+
+    ``eig_impl="device"`` fuses the whole query (Lanczos + eigensolve +
+    GEMV + top-k) into ONE device program with a single O(topk) host
+    sync — the fastest single-query path through a high-RTT link; the
+    device eigh's f32 floor puts ~1e-6-level noise on the values (the
+    host default keeps LAPACK-f64 coefficients at the cost of one extra
+    sync + dispatch)."""
     k = int(max(min(k, graph.n - 1), 1))
     if dg is None:
         if fmt == "best":
@@ -111,6 +139,29 @@ def expm_action_summary(
     else:
         x_dev = jnp.asarray(dg.permute_in(np.asarray(x), dtype))
 
+    def map_nodes(idx_h):
+        noo = getattr(dg, "new_of_old", None)
+        if noo is None:  # identity-laid-out XLA formats (rows 0..n-1)
+            return idx_h.astype(np.int64)
+        old_of_new = np.full(dg.n_pad, -1, dtype=np.int64)
+        old_of_new[noo] = np.arange(graph.n)
+        return old_of_new[idx_h]
+
+    if eig_impl == "device":
+        # ONE program + ONE O(topk) host sync for the whole query
+        out = _fused_summary_program(dg, x_dev, mask, k, topk, spmv_impl)
+        nrm, vals, idx_h, shift, alpha_h, beta_h, xn_h = jax.device_get(out)
+        return SummaryResult(
+            top_values=np.asarray(vals),
+            top_nodes=map_nodes(np.asarray(idx_h)),
+            ans_norm=float(nrm),
+            log_scale=float(shift),
+            alpha=np.asarray(alpha_h),
+            beta=np.asarray(beta_h)[: k - 1],
+            x_norm=float(xn_h),
+            k=k,
+        )
+
     state = lanczos(dg, x_dev, k, spmv_impl=spmv_impl)
     from tpu_lanczos.core import tridiag
 
@@ -125,17 +176,9 @@ def expm_action_summary(
         jnp.asarray(tmp.astype(dtype)), state.q_basis, mask, topk
     )
     # tiny D2H: topk values + indices + one norm
-    idx_h = np.asarray(idx)
-    noo = getattr(dg, "new_of_old", None)
-    if noo is None:  # identity-laid-out XLA formats (rows 0..n-1)
-        top_nodes = idx_h.astype(np.int64)
-    else:
-        old_of_new = np.full(dg.n_pad, -1, dtype=np.int64)
-        old_of_new[noo] = np.arange(graph.n)
-        top_nodes = old_of_new[idx_h]
     return SummaryResult(
         top_values=np.asarray(vals),
-        top_nodes=top_nodes,
+        top_nodes=map_nodes(np.asarray(idx)),
         ans_norm=float(nrm),
         log_scale=float(shift),
         alpha=np.asarray(state.alpha),

@@ -690,6 +690,10 @@ class DiagResult:
     probes: int
     k: int
     deflated: int = 0
+    # the diagonal estimator never drops individual probes — a
+    # non-finite accumulator retries the WHOLE fused program (fresh
+    # key); this records how many retries the result needed (0 = clean)
+    retries: int = 0
 
     def full_diag(self) -> np.ndarray:
         """Linear-space estimate (overflows past exp(~88) in f32 — use
@@ -798,6 +802,7 @@ def subgraph_centrality(
         probes=probes,
         k=k,
         deflated=m_used,
+        retries=attempt,
     )
 
 
@@ -881,4 +886,5 @@ def subgraph_centrality_sharded(
         probes=probes,
         k=k,
         deflated=m_used,
+        retries=attempt,
     )

@@ -135,6 +135,70 @@ def _defl_coeffs(u_rows: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
     return u_rows @ z
 
 
+@partial(jax.jit, static_argnames=("k", "probes", "spmv_impl"))
+def _trace_probes_device(dg, mask: jnp.ndarray, key, k: int, probes: int,
+                         spmv_impl: str, u_rows: jnp.ndarray):
+    """ALL trace probes in ONE device program: a fori_loop over probes,
+    each one Q-free alpha/beta pass (lanczos_alphabeta inlined) on a
+    fresh on-device Rademacher probe, plus its deflation coefficients.
+    Returns stacked (probes, k) alphas/betas, (probes,) x_norms and
+    (probes, m) coefficient rows — ONE dispatch, ONE host sync, which
+    also sidesteps the axon deep-queue NaN hazard entirely (no queue).
+    Probe i uses fold_in(key, i), the SAME stream as the per-probe
+    dispatch path, so seeded results are unchanged."""
+    dtype = mask.dtype
+    m = u_rows.shape[0]
+
+    def body(i, acc):
+        A, B, XN, C = acc
+        z = _masked_rademacher(mask, jax.random.fold_in(key, i))
+        a, b, xn = lanczos_alphabeta(dg, z, k, spmv_impl=spmv_impl)
+        return (A.at[i].set(a), B.at[i].set(b), XN.at[i].set(xn),
+                C.at[i].set(u_rows @ z))
+
+    init = (jnp.zeros((probes, k), dtype), jnp.zeros((probes, k), dtype),
+            jnp.zeros((probes,), dtype), jnp.zeros((probes, m), dtype))
+    return jax.lax.fori_loop(0, probes, body, init)
+
+
+def _stats_filter(rows, probes: int):
+    """Shared non-finite filtering + warning/raise semantics for probe
+    stats (see _probe_stats)."""
+    kept = [t for t in rows
+            if np.isfinite(t[0]).all() and np.isfinite(t[1]).all()
+            and np.isfinite(t[2])
+            and (t[3] is None or np.isfinite(t[3]).all())]
+    if len(kept) < len(rows):
+        import warnings
+
+        warnings.warn(
+            f"dropped {len(rows) - len(kept)}/{len(rows)} probes with "
+            "non-finite Lanczos coefficients (transient device fault?)",
+            stacklevel=4,
+        )
+    if not kept:
+        raise RuntimeError(
+            "every stochastic probe returned non-finite Lanczos "
+            "coefficients — device state is suspect, re-run"
+        )
+    return kept, len(rows) - len(kept)
+
+
+def _probe_stats_device(dg, mask, probes: int, seed: int, k: int,
+                        spmv_impl: str, u_rows=None):
+    """Fused single-chip probe stats: one program, one sync (the
+    per-probe-dispatch path _probe_stats remains for sharded backends).
+    Same return shape and probe stream as _probe_stats."""
+    m = 0 if u_rows is None else int(u_rows.shape[0])
+    u = (u_rows if u_rows is not None
+         else jnp.zeros((0, mask.shape[0]), mask.dtype))
+    A, B, XN, C = jax.device_get(_trace_probes_device(
+        dg, mask, jax.random.key(seed), k, probes, spmv_impl, u))
+    rows = [(A[i], B[i], float(XN[i]), C[i] if m else None)
+            for i in range(probes)]
+    return _stats_filter(rows, probes)
+
+
 def _probe_stats(alphabeta_fn, mask, probes: int, seed: int, u_rows=None):
     """Queue all trace probes asynchronously; ONE host sync at the end.
     ``alphabeta_fn(z) -> (alpha, beta, x_norm)`` is the backend's Q-free
@@ -162,24 +226,7 @@ def _probe_stats(alphabeta_fn, mask, probes: int, seed: int, u_rows=None):
             c = None if u_rows is None else _defl_coeffs(u_rows, z)
             pending.append((*alphabeta_fn(z), c))
         got.extend(jax.device_get(pending))
-    kept = [t for t in got
-            if np.isfinite(t[0]).all() and np.isfinite(t[1]).all()
-            and np.isfinite(t[2])
-            and (t[3] is None or np.isfinite(t[3]).all())]
-    if len(kept) < len(got):
-        import warnings
-
-        warnings.warn(
-            f"dropped {len(got) - len(kept)}/{len(got)} probes with "
-            "non-finite Lanczos coefficients (transient device fault?)",
-            stacklevel=3,
-        )
-    if not kept:
-        raise RuntimeError(
-            "every stochastic probe returned non-finite Lanczos "
-            "coefficients — device state is suspect, re-run"
-        )
-    return kept, len(got) - len(kept)
+    return _stats_filter(got, probes)
 
 
 # ----------------------------------------------------------------- deflation
@@ -347,9 +394,9 @@ def trace_fa(
                              select=lambda ev: np.abs(
                                  np.asarray(f(ev), np.float64)))
             if deflate > 0 else None)
-    ab = lambda z: lanczos_alphabeta(dg, z, k, spmv_impl=spmv_impl)
     if defl is None:
-        stats, dropped = _probe_stats(ab, mask, probes, seed)
+        stats, dropped = _probe_stats_device(dg, mask, probes, seed, k,
+                                             spmv_impl)
         vals = np.array([
             gauss_quadrature(a, b[: k - 1], float(xn) ** 2, f)
             for a, b, xn, _ in stats
@@ -359,8 +406,8 @@ def trace_fa(
     else:
         fe = np.asarray(f(defl.theta), np.float64)  # (m,)
         tr_m = float(np.dot(fe, defl.u_norm_sq))    # tr(M)
-        stats, dropped = _probe_stats(ab, mask, probes, seed,
-                                      u_rows=defl.u_rows)
+        stats, dropped = _probe_stats_device(dg, mask, probes, seed, k,
+                                             spmv_impl, u_rows=defl.u_rows)
         vals = np.array([
             gauss_quadrature(a, b[: k - 1], float(xn) ** 2, f)
             - float(np.dot(fe, np.asarray(c, np.float64) ** 2))
@@ -376,13 +423,16 @@ def trace_fa(
                        deflated=m_used, dropped=dropped)
 
 
-def _estrada_estimate(alphabeta_fn, mask, probes: int, seed: int, k: int,
+def _estrada_estimate(stats_fn, probes: int, seed: int, k: int,
                       defl: _Deflation | None) -> TraceResult:
     """Shared Estrada combiner (single-chip and sharded backends):
     deflated shifted-space path when ``defl`` is given, plain log-space
-    (logsumexp per probe) otherwise."""
+    (logsumexp per probe) otherwise.  ``stats_fn(probes, seed,
+    u_rows=None) -> (kept, dropped)`` is the backend's probe-stats
+    runner (fused one-program on single chip, per-probe dispatch on the
+    mesh)."""
     if defl is None:
-        stats, dropped = _probe_stats(alphabeta_fn, mask, probes, seed)
+        stats, dropped = stats_fn(probes, seed)
         logs = np.array([
             gauss_quadrature_logexp(a, b[: k - 1], float(xn) ** 2)
             for a, b, xn, _ in stats
@@ -407,8 +457,7 @@ def _estrada_estimate(alphabeta_fn, mask, probes: int, seed: int, k: int,
     s = defl.shift
     w_defl = np.exp(defl.theta - s)  # (m,) in (0, 1]
     tr_m = float(np.dot(w_defl, defl.u_norm_sq))  # e^{-s} tr(M)
-    stats, dropped = _probe_stats(alphabeta_fn, mask, probes, seed,
-                                  u_rows=defl.u_rows)
+    stats, dropped = stats_fn(probes, seed, u_rows=defl.u_rows)
     vals = np.array([
         gauss_quadrature_shifted_exp(a, b[: k - 1], float(xn) ** 2, s)
         - float(np.dot(w_defl, np.asarray(c, np.float64) ** 2))
@@ -465,8 +514,12 @@ def estrada_index(
     defl = (_deflation_pairs(dg, mask, deflate, jnp.dtype(dtype), seed,
                              spmv_impl, k_defl=k_deflate)
             if deflate > 0 else None)
-    ab = lambda z: lanczos_alphabeta(dg, z, k, spmv_impl=spmv_impl)
-    return _estrada_estimate(ab, mask, probes, seed, k, defl)
+
+    def stats_fn(probes, seed, u_rows=None):
+        return _probe_stats_device(dg, mask, probes, seed, k, spmv_impl,
+                                   u_rows)
+
+    return _estrada_estimate(stats_fn, probes, seed, k, defl)
 
 
 def _cpg_interpret() -> bool:
@@ -597,7 +650,11 @@ def estrada_index_sharded(
                                      k_defl=k_deflate)
             if deflate > 0 else None)
     ab = _sharded_alphabeta_fn(sg, k, mesh)
-    return _estrada_estimate(ab, mask, probes, seed, k, defl)
+
+    def stats_fn(probes, seed, u_rows=None):
+        return _probe_stats(ab, mask, probes, seed, u_rows)
+
+    return _estrada_estimate(stats_fn, probes, seed, k, defl)
 
 
 # ----------------------------------------------------- spectral density (DOS)
@@ -652,8 +709,7 @@ def spectral_density(
         dg = _resolve_dg(graph, fmt, ell_pct)
     mask = _start_vector(dg, graph, jnp.dtype(dtype), None)
     nodes, weights = [], []
-    ab = lambda z: lanczos_alphabeta(dg, z, k, spmv_impl=spmv_impl)
-    stats, _ = _probe_stats(ab, mask, probes, seed)
+    stats, _ = _probe_stats_device(dg, mask, probes, seed, k, spmv_impl)
     probes = len(stats)  # survivors (non-finite probes are dropped)
     for a, b, xn, _ in stats:
         evals, evecs = tridiag.eigh_host(a, b[: k - 1])

@@ -455,11 +455,22 @@ def test_cli_estrada_heat_kernel(capsys):
 def test_cli_estrada_func_guards():
     from tpu_lanczos.cli.main import main
 
-    # --func is exp-only for --subgraph and for the sharded estimators
+    # --func is exp-only for --subgraph (the fused shifted-space
+    # diagonal program); --estrada composes single-chip AND sharded
     assert main(["-n", "200", "-e", "600", "--func", "heat:1.0",
                  "--subgraph", "8"]) == 2
-    assert main(["-n", "200", "-e", "600", "--func", "heat:1.0",
-                 "--estrada", "8", "--shards", "2"]) == 2
+
+
+def test_cli_estrada_heat_sharded(capsys):
+    from tpu_lanczos.cli.main import main
+
+    rc = main(["-n", "400", "-b", "3", "-k", "30", "--dtype", "float64",
+               "--estrada", "16", "--func", "heat:1.0", "--shards", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "tr(exp(-1.0A))" in out
+    rel = float(out.split("rel err ")[1].split("\n")[0])
+    assert rel < 0.5  # 16 probes, default shallow deflation
 
 
 def test_cli_estrada_sharded_rejects_cst():

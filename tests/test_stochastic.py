@@ -256,6 +256,24 @@ def test_subgraph_sharded_cpg_vs_dense(ba200, diag_true):
     assert int(dr.top_nodes(1)[0]) == int(np.argmax(diag_true))
 
 
+def test_trace_fa_sharded_heat(ba200):
+    """General-f trace on the mesh: fused one-program probes + deflation
+    matching the dense oracle, on both pack types."""
+    import tpu_lanczos as tl
+    from tpu_lanczos.dist.mesh import make_mesh
+
+    f = lambda ev: np.exp(-ev)
+    tr_true = oracle.trace_fa_dense(ba200, f)
+    mesh = make_mesh(4)
+    for fmt in ("auto", "cpg"):
+        r = tl.trace_fa_sharded(ba200, f=f, k=40, probes=32, mesh=mesh,
+                                deflate=8, k_deflate=80, seed=0,
+                                dtype="float64", fmt=fmt)
+        assert r.deflated == 8, fmt
+        assert abs(r.estimate - tr_true) / tr_true < 0.1, fmt
+        assert r.dropped == 0
+
+
 def test_alphabeta_cpg_sharded_matches_quadrature(ba200):
     """The CPG-sharded Q-free pass produces a valid quadrature rule:
     same check as the XLA-format pass below."""

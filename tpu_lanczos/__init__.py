@@ -41,6 +41,7 @@ from tpu_lanczos.core.stochastic import (
     subgraph_centrality_sharded,
     spectral_density,
     trace_fa,
+    trace_fa_sharded,
     TraceResult,
     DiagResult,
     DOSResult,
@@ -69,6 +70,7 @@ __all__ = [
     "subgraph_centrality_sharded",
     "spectral_density",
     "trace_fa",
+    "trace_fa_sharded",
     "TraceResult",
     "DiagResult",
     "DOSResult",

@@ -258,10 +258,10 @@ def _main(args) -> int:
                   "--reorthogonalize/--ks/--pipeline)", file=sys.stderr)
             return 2
         fa_est = _parse_func(args.func)
-        if fa_est is not None and (args.subgraph or args.shards):
-            print("error: --func composes with --estrada single-chip "
-                  "only (general-f trace rides trace_fa; --subgraph "
-                  "and --shards are exp-only)", file=sys.stderr)
+        if fa_est is not None and args.subgraph:
+            print("error: --func composes with --estrada only (the "
+                  "diagonal estimator's fused shifted-space program is "
+                  "exp-specific)", file=sys.stderr)
             return 2
         from tpu_lanczos.core import stochastic
 
@@ -308,10 +308,16 @@ def _main(args) -> int:
                 # |f(theta)|-ranked Ritz deflation (heat kernels deflate
                 # the bottom of the spectrum, exp-like f the top)
                 f, label = fa_est
-                r = stochastic.trace_fa(
-                    g, f=f, k=k, probes=args.estrada,
-                    deflate=args.deflate, seed=args.seed,
-                    dtype=args.dtype, dg=dgc)
+                if mesh is not None:
+                    r = stochastic.trace_fa_sharded(
+                        sg, f=f, k=k, probes=args.estrada, mesh=mesh,
+                        deflate=args.deflate, seed=args.seed,
+                        dtype=args.dtype)
+                else:
+                    r = stochastic.trace_fa(
+                        g, f=f, k=k, probes=args.estrada,
+                        deflate=args.deflate, seed=args.seed,
+                        dtype=args.dtype, dg=dgc)
                 dt = time.time() - t0
                 print(f"tr({label}) ~= {r.estimate:.6e}")
                 print(f"  probes={r.probes} k={r.k} deflation rank="

@@ -199,6 +199,39 @@ def _probe_stats_device(dg, mask, probes: int, seed: int, k: int,
     return _stats_filter(rows, probes)
 
 
+def _probe_stats_sharded(sg, mask, mesh, probes: int, seed: int, k: int,
+                         u_rows=None):
+    """Fused sharded probe stats: ALL probes in ONE shard_map program
+    (dist.mesh.sharded_trace_probes_body), dispatched on the pack type.
+    Same return shape as _probe_stats; the probe streams are
+    shard-local (key folded with the shard index), so seeded values
+    differ from the single-chip sequence at the Monte-Carlo level while
+    remaining unbiased."""
+    from tpu_lanczos.dist.cpg_sharded import (ShardedCPG,
+                                              trace_probes_cpg_sharded)
+    from tpu_lanczos.dist.lanczos import trace_probes_sharded
+    from tpu_lanczos.dist.mesh import ROWS
+
+    m = 0 if u_rows is None else int(u_rows.shape[0])
+    if u_rows is None:
+        P = jax.sharding.PartitionSpec
+        u = jax.device_put(
+            jnp.zeros((0, mask.shape[0]), mask.dtype),
+            jax.sharding.NamedSharding(mesh, P(None, ROWS)))
+    else:
+        u = u_rows.astype(mask.dtype)
+    key = jax.random.key(seed)
+    if isinstance(sg, ShardedCPG):
+        out = trace_probes_cpg_sharded(sg, mask, key, k, probes, mesh, u,
+                                       interpret=_cpg_interpret())
+    else:
+        out = trace_probes_sharded(sg, mask, key, k, probes, mesh, u)
+    A, B, XN, C = jax.device_get(out)
+    rows = [(A[i], B[i], float(XN[i]), C[i] if m else None)
+            for i in range(probes)]
+    return _stats_filter(rows, probes)
+
+
 def _probe_stats(alphabeta_fn, mask, probes: int, seed: int, u_rows=None):
     """Queue all trace probes asynchronously; ONE host sync at the end.
     ``alphabeta_fn(z) -> (alpha, beta, x_norm)`` is the backend's Q-free
@@ -394,9 +427,20 @@ def trace_fa(
                              select=lambda ev: np.abs(
                                  np.asarray(f(ev), np.float64)))
             if deflate > 0 else None)
+
+    def stats_fn(probes, seed, u_rows=None):
+        return _probe_stats_device(dg, mask, probes, seed, k, spmv_impl,
+                                   u_rows)
+
+    return _trace_fa_estimate(stats_fn, probes, seed, k, f, defl)
+
+
+def _trace_fa_estimate(stats_fn, probes: int, seed: int, k: int, f,
+                       defl: _Deflation | None) -> TraceResult:
+    """Shared general-f trace combiner (single-chip and sharded):
+    linear-space deflated Hutchinson, unbiased for any deflation basis."""
     if defl is None:
-        stats, dropped = _probe_stats_device(dg, mask, probes, seed, k,
-                                             spmv_impl)
+        stats, dropped = stats_fn(probes, seed)
         vals = np.array([
             gauss_quadrature(a, b[: k - 1], float(xn) ** 2, f)
             for a, b, xn, _ in stats
@@ -406,8 +450,7 @@ def trace_fa(
     else:
         fe = np.asarray(f(defl.theta), np.float64)  # (m,)
         tr_m = float(np.dot(fe, defl.u_norm_sq))    # tr(M)
-        stats, dropped = _probe_stats_device(dg, mask, probes, seed, k,
-                                             spmv_impl, u_rows=defl.u_rows)
+        stats, dropped = stats_fn(probes, seed, u_rows=defl.u_rows)
         vals = np.array([
             gauss_quadrature(a, b[: k - 1], float(xn) ** 2, f)
             - float(np.dot(fe, np.asarray(c, np.float64) ** 2))
@@ -421,6 +464,41 @@ def trace_fa(
                        rel_stderr=se / abs(est) if est else np.inf,
                        per_probe=vals, probes=n_used, k=k,
                        deflated=m_used, dropped=dropped)
+
+
+def trace_fa_sharded(
+    graph,
+    f=np.exp,
+    k: int = 30,
+    probes: int = 32,
+    *,
+    mesh,
+    deflate: int = 0,
+    k_deflate: int | None = None,
+    seed: int = 0,
+    dtype: str | jnp.dtype = "float32",
+    fmt: str = "auto",
+    ell_pct: float = 90.0,
+) -> TraceResult:
+    """tr(f(A)) on an N-chip row-sharded mesh: ALL probes run in one
+    shard_map program (the Pallas CPG kernel for fmt="cpg"/"best"-on-
+    TPU, XLA formats otherwise), with |f(theta)|-ranked Ritz deflation
+    exactly like the single-chip :func:`trace_fa`.  ``graph`` is a
+    CSRGraph (packed here) or a pre-packed ShardedGraph/ShardedCPG."""
+    dt = jnp.dtype(dtype)
+    sg, mask = _sharded_setup(graph, mesh, fmt, dt, ell_pct)
+    k = int(max(min(k, sg.n - 1), 1))
+    defl = (_deflation_pairs_sharded(sg, mask, mesh, deflate, dt, seed,
+                                     k_defl=k_deflate,
+                                     select=lambda ev: np.abs(
+                                         np.asarray(f(ev), np.float64)))
+            if deflate > 0 else None)
+
+    def stats_fn(probes, seed, u_rows=None):
+        return _probe_stats_sharded(sg, mask, mesh, probes, seed, k,
+                                    u_rows)
+
+    return _trace_fa_estimate(stats_fn, probes, seed, k, f, defl)
 
 
 def _estrada_estimate(stats_fn, probes: int, seed: int, k: int,
@@ -580,8 +658,8 @@ def _sharded_alphabeta_fn(sg, k: int, mesh):
 
 
 def _deflation_pairs_sharded(sg, mask, mesh, m: int, dt, seed: int,
-                             k_defl: int | None = None
-                             ) -> _Deflation | None:
+                             k_defl: int | None = None,
+                             select=None) -> _Deflation | None:
     """Sharded deflation: one reorthogonalized shard_map Lanczos run
     (full (k,) beta from the backend's shmap) feeding
     :func:`_ritz_pairs_from` — u_rows stays column-sharded.  Mirrors the
@@ -618,7 +696,7 @@ def _deflation_pairs_sharded(sg, mask, mesh, m: int, dt, seed: int,
     else:
         _deflation_warn(stacklevel=5)
         return None
-    return _ritz_pairs_from(alpha, beta, q_basis, m, dt)
+    return _ritz_pairs_from(alpha, beta, q_basis, m, dt, select=select)
 
 
 def estrada_index_sharded(
@@ -649,10 +727,10 @@ def estrada_index_sharded(
     defl = (_deflation_pairs_sharded(sg, mask, mesh, deflate, dt, seed,
                                      k_defl=k_deflate)
             if deflate > 0 else None)
-    ab = _sharded_alphabeta_fn(sg, k, mesh)
 
     def stats_fn(probes, seed, u_rows=None):
-        return _probe_stats(ab, mask, probes, seed, u_rows)
+        return _probe_stats_sharded(sg, mask, mesh, probes, seed, k,
+                                    u_rows)
 
     return _estrada_estimate(stats_fn, probes, seed, k, defl)
 

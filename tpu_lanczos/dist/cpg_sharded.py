@@ -589,6 +589,52 @@ def diag_probes_cpg_sharded(sg: ShardedCPG, mask, key, k: int,
         mask_sparse=sg.mask_sparse, overlap=sg.overlap)
 
 
+@partial(jax.jit, static_argnames=(
+    "mesh", "k", "probes", "sub", "c_loc", "interpret", "t_reals",
+    "mask_sparse", "overlap"))
+def _trace_probes_cpg_shmap(mesh, levels, realmask, mask, key, u_rows,
+                            k, probes, sub, c_loc, interpret,
+                            t_reals=(), mask_sparse=(), overlap=False):
+    """One shard_map program running ALL trace probes over the CPG
+    kernel (see dist.mesh.sharded_trace_probes_body)."""
+    from tpu_lanczos.dist.mesh import sharded_trace_probes_body
+
+    P = jax.sharding.PartitionSpec
+
+    def shard_spec(v):
+        return P(ROWS, *([None] * (v.ndim - 1)))
+
+    level_specs = jax.tree.map(shard_spec, levels)
+
+    def f(levels_loc, realmask_loc, mask_loc, key, u_loc):
+        def local(q):
+            return _local_spmv(levels_loc, realmask_loc, q, sub, c_loc,
+                               interpret, t_reals, mask_sparse, overlap)
+
+        return sharded_trace_probes_body(local, mask_loc, key, k, probes,
+                                         u_loc)
+
+    return jax.shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(level_specs, P(ROWS), P(ROWS), P(), P(None, ROWS)),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=not interpret,
+    )(levels, realmask, mask, key, u_rows)
+
+
+def trace_probes_cpg_sharded(sg: ShardedCPG, mask, key, k: int,
+                             probes: int, mesh, u_rows,
+                             interpret: bool = False):
+    """Fused trace-probe runner over the row-sharded CPG kernel.
+    Returns replicated (alphas, betas, x_norms, coeffs)."""
+    return _trace_probes_cpg_shmap(
+        mesh, sg.levels, sg.realmask, mask, key, u_rows, k=k,
+        probes=probes, sub=sg.sub, c_loc=sg.c_loc, interpret=interpret,
+        t_reals=sg.t_reals, mask_sparse=sg.mask_sparse,
+        overlap=sg.overlap)
+
+
 def lanczos_alphabeta_cpg_sharded(sg: ShardedCPG, x: jnp.ndarray, k: int,
                                   mesh: jax.sharding.Mesh,
                                   interpret: bool = False):

@@ -237,6 +237,45 @@ def diag_probes_sharded(sg: ShardedGraph, mask, key, k: int, probes: int,
         n_loc=sg.n_loc)
 
 
+@partial(jax.jit, static_argnames=("mesh", "k", "probes", "n_loc"))
+def _trace_probes_shmap(mesh, ell_indices, ell_degrees, coo_rows,
+                        coo_cols, mask, key, u_rows, k, probes, n_loc):
+    """One shard_map program running ALL trace probes (see
+    dist.mesh.sharded_trace_probes_body)."""
+    from tpu_lanczos.dist.mesh import sharded_trace_probes_body
+
+    P = jax.sharding.PartitionSpec
+
+    def f(ell_idx, ell_deg, coo_rows, coo_cols, mask_loc, key, u_loc):
+        coo_rows_l = coo_rows[0]
+        coo_cols_l = coo_cols[0]
+
+        def local(q):
+            q_full = jax.lax.all_gather(q, ROWS, tiled=True)  # halo
+            return _local_spmv(ell_idx, ell_deg, coo_rows_l, coo_cols_l,
+                               q_full, n_loc)
+
+        return sharded_trace_probes_body(local, mask_loc, key, k, probes,
+                                         u_loc)
+
+    return jax.shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(P(None, ROWS), P(ROWS), P(ROWS, None), P(ROWS, None),
+                  P(ROWS), P(), P(None, ROWS)),
+        out_specs=(P(), P(), P(), P()),
+    )(ell_indices, ell_degrees, coo_rows, coo_cols, mask, key, u_rows)
+
+
+def trace_probes_sharded(sg: ShardedGraph, mask, key, k: int, probes: int,
+                         mesh, u_rows):
+    """Fused trace-probe runner on the row-sharded XLA formats.
+    Returns replicated (alphas, betas, x_norms, coeffs)."""
+    return _trace_probes_shmap(
+        mesh, sg.ell_indices, sg.ell_degrees, sg.coo_rows, sg.coo_cols,
+        mask, key, u_rows, k=k, probes=probes, n_loc=sg.n_loc)
+
+
 def lanczos_alphabeta_sharded(sg: ShardedGraph, x: jnp.ndarray, k: int,
                               mesh: jax.sharding.Mesh):
     """Pass-1 Q-free Lanczos on the row-sharded graph: the mesh analog of

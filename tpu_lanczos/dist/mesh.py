@@ -155,6 +155,37 @@ def sharded_diag_probes_body(local_spmv, mask_loc, key, k: int,
     return diag_m + acc / probes
 
 
+def sharded_trace_probes_body(local_spmv, mask_loc, key, k: int,
+                              probes: int, u_rows_loc):
+    """ALL trace probes in ONE shard_map program — the mesh twin of
+    core.stochastic._trace_probes_device: a fori_loop over probes, each
+    one Q-free sharded alpha/beta pass (via ``local_spmv``) plus its
+    psum'd deflation coefficients.  Returns stacked (probes, k)
+    alphas/betas, (probes,) x_norms and (probes, m) coefficient rows —
+    all replicated.  Probe vectors are shard-local streams (key folded
+    with the shard index; identical streams would correlate z entries
+    across shards and bias E[z z^T] off the identity).  Runs INSIDE
+    shard_map."""
+    import jax.numpy as jnp
+
+    dtype = mask_loc.dtype
+    m = u_rows_loc.shape[0]
+    key = jax.random.fold_in(key, jax.lax.axis_index(ROWS))
+
+    def body(i, acc):
+        A, B, XN, C = acc
+        z = mask_loc * jax.random.rademacher(
+            jax.random.fold_in(key, i), mask_loc.shape, dtype=dtype)
+        a, b, xn = sharded_alphabeta_body(local_spmv, z, k)
+        c = jax.lax.psum(u_rows_loc @ z, ROWS)
+        return (A.at[i].set(a), B.at[i].set(b), XN.at[i].set(xn),
+                C.at[i].set(c))
+
+    init = (jnp.zeros((probes, k), dtype), jnp.zeros((probes, k), dtype),
+            jnp.zeros((probes,), dtype), jnp.zeros((probes, m), dtype))
+    return jax.lax.fori_loop(0, probes, body, init)
+
+
 def sharded_alphabeta_body(local_spmv, x_loc, k: int):
     """Q-free variant of :func:`sharded_lanczos_body`: carries only
     (q, q_prev) — the mesh analog of core.lanczos.lanczos_alphabeta

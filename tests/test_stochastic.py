@@ -256,6 +256,22 @@ def test_subgraph_sharded_cpg_vs_dense(ba200, diag_true):
     assert int(dr.top_nodes(1)[0]) == int(np.argmax(diag_true))
 
 
+def test_spectral_density_sharded_vs_dense(ba200):
+    """Sharded DOS (fused one-program probes) matches the dense-blurred
+    truth like the single-chip estimator."""
+    import tpu_lanczos as tl
+    from tpu_lanczos.dist.mesh import make_mesh
+
+    r = tl.spectral_density_sharded(ba200, k=60, probes=32,
+                                    mesh=make_mesh(4), seed=0,
+                                    dtype="float64", fmt="cpg")
+    d_true = oracle.dos_dense(ba200, r.grid, r.sigma)
+    assert abs(np.trapezoid(r.density, r.grid) - 1.0) < 1e-3
+    assert np.trapezoid(np.abs(r.density - d_true), r.grid) < 0.1
+    ev = np.linalg.eigvalsh(ba200.to_scipy().toarray())
+    assert abs(r.lambda_max - ev[-1]) / abs(ev[-1]) < 1e-10
+
+
 def test_trace_fa_sharded_heat(ba200):
     """General-f trace on the mesh: fused one-program probes + deflation
     matching the dense oracle, on both pack types."""

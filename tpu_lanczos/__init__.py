@@ -40,6 +40,7 @@ from tpu_lanczos.core.stochastic import (
     subgraph_centrality,
     subgraph_centrality_sharded,
     spectral_density,
+    spectral_density_sharded,
     trace_fa,
     trace_fa_sharded,
     TraceResult,
@@ -69,6 +70,7 @@ __all__ = [
     "subgraph_centrality",
     "subgraph_centrality_sharded",
     "spectral_density",
+    "spectral_density_sharded",
     "trace_fa",
     "trace_fa_sharded",
     "TraceResult",

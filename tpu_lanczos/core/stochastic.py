@@ -786,9 +786,15 @@ def spectral_density(
     if dg is None:
         dg = _resolve_dg(graph, fmt, ell_pct)
     mask = _start_vector(dg, graph, jnp.dtype(dtype), None)
-    nodes, weights = [], []
     stats, _ = _probe_stats_device(dg, mask, probes, seed, k, spmv_impl)
+    return _dos_from_stats(stats, k, grid, sigma)
+
+
+def _dos_from_stats(stats, k: int, grid, sigma) -> DOSResult:
+    """Shared DOS pooling: Ritz nodes/weights per surviving probe,
+    Gaussian blur, mass-1 normalization."""
     probes = len(stats)  # survivors (non-finite probes are dropped)
+    nodes, weights = [], []
     for a, b, xn, _ in stats:
         evals, evecs = tridiag.eigh_host(a, b[: k - 1])
         nodes.append(evals)
@@ -809,6 +815,31 @@ def spectral_density(
                      lambda_min=lo, lambda_max=hi,
                      nodes=nodes, weights=weights,
                      probes=probes, k=k)
+
+
+def spectral_density_sharded(
+    graph,
+    k: int = 80,
+    probes: int = 16,
+    *,
+    mesh,
+    grid: np.ndarray | int = 512,
+    sigma: float | None = None,
+    seed: int = 0,
+    dtype: str | jnp.dtype = "float32",
+    fmt: str = "auto",
+    ell_pct: float = 90.0,
+) -> DOSResult:
+    """Spectral density on an N-chip row-sharded mesh: ALL probes in
+    one shard_map program (the fused sharded trace-probe runner), then
+    the identical host-side pooling as :func:`spectral_density`.
+    ``graph`` is a CSRGraph (packed here) or a pre-packed
+    ShardedGraph/ShardedCPG."""
+    dt = jnp.dtype(dtype)
+    sg, mask = _sharded_setup(graph, mesh, fmt, dt, ell_pct)
+    k = int(max(min(k, sg.n - 1), 1))
+    stats, _ = _probe_stats_sharded(sg, mask, mesh, probes, seed, k)
+    return _dos_from_stats(stats, k, grid, sigma)
 
 
 # ----------------------------------------------------------------- diagonal

@@ -109,6 +109,31 @@ def test_checkpoint_rejects_mismatched_run(tmp_path):
         run_fingerprint(dg_b, np.float64, k, True, "auto")
 
 
+def test_checkpoint_rejects_nonpositive_chunk(tmp_path):
+    """chunk <= 0 must raise, not spin forever re-writing j_done=0."""
+    import jax.numpy as jnp
+
+    from tpu_lanczos.core.checkpoint import (
+        lanczos_alphabeta_df_checkpointed,
+    )
+    from tpu_lanczos.kernels.cpg import pack_cpg
+
+    g = generators.uniform_random(300, 900, seed=1)
+    dg = pack(g)
+    x = pad_vector(np.ones(g.n), dg.n_pad, np.float64)
+    with pytest.raises(ValueError, match="chunk"):
+        lanczos_checkpointed(dg, x, 8,
+                             checkpoint_path=str(tmp_path / "a.npz"),
+                             chunk=0)
+    cg = pack_cpg(g)
+    xh = cg.realmask.astype(jnp.float32)
+    with pytest.raises(ValueError, match="chunk"):
+        lanczos_alphabeta_df_checkpointed(
+            cg, xh, jnp.zeros_like(xh), 8,
+            checkpoint_path=str(tmp_path / "b.npz"), chunk=-1,
+            interpret=True)
+
+
 def test_df64_alphabeta_checkpoint_bit_identical(tmp_path):
     """df64 pass-1 checkpoint (the europe-scale long stage): a chunked +
     interrupted + resumed run reproduces the one-shot pass bit-for-bit

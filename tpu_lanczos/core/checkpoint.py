@@ -142,6 +142,8 @@ def lanczos_checkpointed(
     the result is bit-identical to an uninterrupted run because the carry
     captures the exact device state between chunks.
     """
+    if chunk < 1:
+        raise ValueError(f"chunk must be >= 1, got {chunk}")
     fp = run_fingerprint(dg, x.dtype, k, reorthogonalize, spmv_impl, x=x)
     ckpt = None
     if os.path.exists(checkpoint_path):
@@ -257,6 +259,9 @@ def lanczos_alphabeta_df_checkpointed(
         _alphabeta_df_init_dev,
         lanczos_alphabeta_df_range,
     )
+
+    if chunk < 1:
+        raise ValueError(f"chunk must be >= 1, got {chunk}")
 
     import zlib
 

@@ -129,12 +129,6 @@ def _masked_rademacher(mask: jnp.ndarray, key) -> jnp.ndarray:
     return mask * jax.random.rademacher(key, mask.shape, dtype=mask.dtype)
 
 
-@jax.jit
-def _defl_coeffs(u_rows: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
-    """Per-probe deflation coefficients c_j = u_j . z  (m,)."""
-    return u_rows @ z
-
-
 @partial(jax.jit, static_argnames=("k", "probes", "spmv_impl"))
 def _trace_probes_device(dg, mask: jnp.ndarray, key, k: int, probes: int,
                          spmv_impl: str, u_rows: jnp.ndarray):
@@ -161,9 +155,10 @@ def _trace_probes_device(dg, mask: jnp.ndarray, key, k: int, probes: int,
     return jax.lax.fori_loop(0, probes, body, init)
 
 
-def _stats_filter(rows, probes: int):
-    """Shared non-finite filtering + warning/raise semantics for probe
-    stats (see _probe_stats)."""
+def _stats_filter(rows):
+    """Shared non-finite filtering + warning/raise semantics for the
+    fused probe-stats runners: drop probes with non-finite coefficients
+    (warning), raise when nothing survives, return (kept, dropped)."""
     kept = [t for t in rows
             if np.isfinite(t[0]).all() and np.isfinite(t[1]).all()
             and np.isfinite(t[2])
@@ -186,9 +181,11 @@ def _stats_filter(rows, probes: int):
 
 def _probe_stats_device(dg, mask, probes: int, seed: int, k: int,
                         spmv_impl: str, u_rows=None):
-    """Fused single-chip probe stats: one program, one sync (the
-    per-probe-dispatch path _probe_stats remains for sharded backends).
-    Same return shape and probe stream as _probe_stats."""
+    """Fused single-chip probe stats: one program, one sync.  Returns
+    ``(kept, dropped)``: a list of (alpha, beta, x_norm, c) numpy tuples
+    (c is None without deflation) plus the dropped-probe count.  Probe i
+    uses fold_in(key(seed), i) — the stream the pre-round-5 per-probe
+    dispatch path used, so seeded records carry over unchanged."""
     m = 0 if u_rows is None else int(u_rows.shape[0])
     u = (u_rows if u_rows is not None
          else jnp.zeros((0, mask.shape[0]), mask.dtype))
@@ -196,14 +193,14 @@ def _probe_stats_device(dg, mask, probes: int, seed: int, k: int,
         dg, mask, jax.random.key(seed), k, probes, spmv_impl, u))
     rows = [(A[i], B[i], float(XN[i]), C[i] if m else None)
             for i in range(probes)]
-    return _stats_filter(rows, probes)
+    return _stats_filter(rows)
 
 
 def _probe_stats_sharded(sg, mask, mesh, probes: int, seed: int, k: int,
                          u_rows=None):
     """Fused sharded probe stats: ALL probes in ONE shard_map program
     (dist.mesh.sharded_trace_probes_body), dispatched on the pack type.
-    Same return shape as _probe_stats; the probe streams are
+    Same return shape as _probe_stats_device; the probe streams are
     shard-local (key folded with the shard index), so seeded values
     differ from the single-chip sequence at the Monte-Carlo level while
     remaining unbiased."""
@@ -229,37 +226,7 @@ def _probe_stats_sharded(sg, mask, mesh, probes: int, seed: int, k: int,
     A, B, XN, C = jax.device_get(out)
     rows = [(A[i], B[i], float(XN[i]), C[i] if m else None)
             for i in range(probes)]
-    return _stats_filter(rows, probes)
-
-
-def _probe_stats(alphabeta_fn, mask, probes: int, seed: int, u_rows=None):
-    """Queue all trace probes asynchronously; ONE host sync at the end.
-    ``alphabeta_fn(z) -> (alpha, beta, x_norm)`` is the backend's Q-free
-    pass (single-chip lanczos_alphabeta or the sharded variant).
-    Returns ``(kept, dropped)``: a list of (alpha, beta, x_norm, c)
-    numpy tuples (c is None without deflation) plus the count of probes
-    dropped for non-finite coefficients — surfaced so results record
-    when an estimate ran on fewer probes than requested.
-
-    Probes are fetched in chunks of 8: deep async queues of many small
-    programs were observed to trigger a transient NaN race on the
-    experimental axon TPU backend (the SAME program with the SAME inputs
-    returned NaN twice, then the correct value — a backend-level fault,
-    not a numerical one; see docs/DESIGN.md round-4 estimator section).
-    Chunking bounds the in-flight depth while still amortizing the
-    host-sync RTT 8x.  Probes whose fetched coefficients are non-finite
-    anyway are dropped with a warning; the estimator stays unbiased on
-    the surviving probes."""
-    base = jax.random.key(seed)
-    got = []
-    for i0 in range(0, probes, 8):
-        pending = []
-        for i in range(i0, min(i0 + 8, probes)):
-            z = _masked_rademacher(mask, jax.random.fold_in(base, i))
-            c = None if u_rows is None else _defl_coeffs(u_rows, z)
-            pending.append((*alphabeta_fn(z), c))
-        got.extend(jax.device_get(pending))
-    return _stats_filter(got, probes)
+    return _stats_filter(rows)
 
 
 # ----------------------------------------------------------------- deflation
@@ -329,14 +296,19 @@ def _deflation_warn(stacklevel: int = 4):
 def _deflation_pairs(dg, mask, m: int, dtype, seed: int, spmv_impl: str,
                      resid_rtol: float = 1e-2,
                      k_defl: int | None = None,
-                     select=None) -> _Deflation | None:
+                     select=None,
+                     n_cap: int | None = None) -> _Deflation | None:
     """Single-chip deflation: one reorthogonalized Lanczos run (via
     lanczos_init + lanczos_range, whose carry keeps the FULL (k,) beta
     that lanczos() discards) feeding :func:`_ritz_pairs_from`.
     ``k_defl`` (default 2m+10, min 30) controls extraction depth —
     deeper runs converge more (clustered) pairs at one extra pass's
     cost."""
-    k_defl, m = _defl_depth(m, k_defl, mask.shape[0] - 1)
+    # depth clamps at graph.n - 1 (``n_cap``), not n_pad - 1: running
+    # past exact breakdown on a padded pack leaves spurious zero alpha
+    # slots that distort the Ritz selection
+    k_defl, m = _defl_depth(
+        m, k_defl, (n_cap if n_cap is not None else mask.shape[0]) - 1)
     if m <= 0:
         return None
     alpha = beta = q_basis = None
@@ -425,7 +397,8 @@ def trace_fa(
     defl = (_deflation_pairs(dg, mask, deflate, jnp.dtype(dtype), seed,
                              spmv_impl, k_defl=k_deflate,
                              select=lambda ev: np.abs(
-                                 np.asarray(f(ev), np.float64)))
+                                 np.asarray(f(ev), np.float64)),
+                             n_cap=graph.n)
             if deflate > 0 else None)
 
     def stats_fn(probes, seed, u_rows=None):
@@ -590,7 +563,7 @@ def estrada_index(
     mask = _start_vector(dg, graph, jnp.dtype(dtype), None)
 
     defl = (_deflation_pairs(dg, mask, deflate, jnp.dtype(dtype), seed,
-                             spmv_impl, k_defl=k_deflate)
+                             spmv_impl, k_defl=k_deflate, n_cap=graph.n)
             if deflate > 0 else None)
 
     def stats_fn(probes, seed, u_rows=None):
@@ -926,7 +899,7 @@ def subgraph_centrality(
     n_pad = mask.shape[0]
 
     defl = (_deflation_pairs(dg, mask, deflate, dt, seed, spmv_impl,
-                             k_defl=k_deflate)
+                             k_defl=k_deflate, n_cap=graph.n)
             if deflate > 0 else None)
     if defl is not None:
         u_rows = defl.u_rows

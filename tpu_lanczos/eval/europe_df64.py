@@ -113,9 +113,20 @@ def main(argv=None):
     snap = AlphaBetaDFCheckpoint.load(ckpt)
     snap_mb = sum(getattr(snap, f).nbytes
                   for f in AlphaBetaDFCheckpoint._FIELDS) / 1e6
-    # rewind to the penultimate snapshot boundary and resume
+    # rewind to the penultimate snapshot boundary and resume (skipped
+    # when the run fits in one chunk — there is no mid-run state)
     n_chunks = -(-args.k // args.ckpt_chunk)
     j_mid = (n_chunks - 1) * args.ckpt_chunk
+    if j_mid <= 0:
+        print(json.dumps(dict(
+            base, study="europe_df64_checkpoint",
+            ckpt_chunk=args.ckpt_chunk,
+            pass1_checkpointed_s=round(t_ck, 2),
+            snapshot_mb=round(snap_mb, 1),
+            note="single-chunk run: no mid-run snapshot to resume from")),
+            flush=True)
+        os.unlink(ckpt)
+        return 0
     a_mid, b_mid, _ = lanczos_alphabeta_df_checkpointed(
         dg, x_hi, x_lo, j_mid, checkpoint_path=ckpt + ".mid",
         chunk=args.ckpt_chunk, interpret=interpret)

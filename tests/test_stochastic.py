@@ -70,6 +70,20 @@ def test_trace_fa_tr_a_squared(ba200):
     assert r.stderr > 0
 
 
+def test_stats_filter_drops_and_raises():
+    """Non-finite probes are dropped (with the count reported) and an
+    all-bad batch raises instead of returning an empty estimate."""
+    from tpu_lanczos.core.stochastic import _stats_filter
+
+    good = (np.ones(3), np.ones(2), 1.0, None)
+    bad = (np.full(3, np.nan), np.ones(2), 1.0, None)
+    with pytest.warns(UserWarning, match="dropped 1/2"):
+        kept, dropped = _stats_filter([good, bad])
+    assert len(kept) == 1 and dropped == 1
+    with pytest.raises(RuntimeError, match="non-finite"):
+        _stats_filter([bad, bad])
+
+
 def test_trace_fa_heat_deflated(ba200):
     """General-f deflation: a heat-kernel trace deflates the BOTTOM of
     the spectrum (|f(theta)|-ranked pair selection) and the stderr drops

@@ -462,6 +462,10 @@ def _main(args) -> int:
             print("error: --topk/--low-mem are single-chip modes",
                   file=sys.stderr)
             return 2
+        if args.pipeline:
+            print("error: --pipeline is a single-chip serving mode "
+                  "(no --shards)", file=sys.stderr)
+            return 2
         if args.dtype == "df64":
             # f64-grade e^A.x over the row mesh: df64 two-pass Q-free
             # Lanczos under shard_map (dist/lanczos_df.py) — the
@@ -480,6 +484,13 @@ def _main(args) -> int:
                 pack_kw["sub"] = args.cpg_sub
             if args.cpg_order != "auto":
                 pack_kw["order"] = args.cpg_order
+            if args.cpg_redeal != "auto":
+                pack_kw["redeal"] = args.cpg_redeal == "on"
+            if args.cpg_layout == "slab":
+                print("error: --cpg-layout slab is single-chip only "
+                      "(the sharded CPG splitter needs the classic "
+                      "layout)", file=sys.stderr)
+                return 2
             mesh = make_mesh(args.shards)
             res = expm_action_df_sharded(
                 g, k=k, mesh=mesh, log_scale=args.log_scale, **pack_kw)
@@ -527,6 +538,13 @@ def _main(args) -> int:
                 pack_kw["sub"] = args.cpg_sub
             if args.cpg_order != "auto":
                 pack_kw["order"] = args.cpg_order
+            if args.cpg_redeal != "auto":
+                pack_kw["redeal"] = args.cpg_redeal == "on"
+            if args.cpg_layout == "slab":
+                print("error: --cpg-layout slab is single-chip only "
+                      "(the sharded CPG splitter needs the classic "
+                      "layout)", file=sys.stderr)
+                return 2
         mesh = make_mesh(args.shards)
         ans, shift, state, _ = expm_action_sharded(
             g, k=k, mesh=mesh, dtype=args.dtype, fmt=args.fmt,
@@ -540,6 +558,10 @@ def _main(args) -> int:
         if args.topk:
             from tpu_lanczos.core.pipeline import expm_action_summary
 
+            if args.pipeline:
+                print("error: --topk and --pipeline are separate "
+                      "serving modes (pick one)", file=sys.stderr)
+                return 2
             if args.fmt == "cst":
                 print("error: --topk supports fmt best/cpg/ell/coo/hyb",
                       file=sys.stderr)

@@ -174,10 +174,14 @@ def lanczos_recombine(dg: DeviceGraph, x: jnp.ndarray, coeff: jnp.ndarray,
         q_next = jnp.where(b > 0, v / jnp.where(b > 0, b, 1), jnp.zeros_like(v))
         return (q_next, q, ans, alpha, beta)
 
+    # run the recurrence only k-1 times: the final q_{k-1} needs no
+    # further SpMV/dots — fold its coefficient term in directly (the
+    # df64 twin does the same, core/lanczos_df.py lanczos_recombine_df)
     init = (q0, jnp.zeros_like(q0), jnp.zeros_like(q0),
             jnp.zeros((k,), dtype), jnp.zeros((k,), dtype))
-    _, _, ans, _, _ = jax.lax.fori_loop(0, k, body, init)
-    return ans
+    carry = jax.lax.fori_loop(0, k - 1, body, init) if k > 1 else init
+    q, _, ans, _, _ = carry
+    return ans + coeff[k - 1] * q
 
 
 @partial(jax.jit, static_argnames=("k", "reorthogonalize", "spmv_impl"))

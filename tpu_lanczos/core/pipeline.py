@@ -119,14 +119,12 @@ def expm_action_summary(
     sync + dispatch)."""
     k = int(max(min(k, graph.n - 1), 1))
     if dg is None:
-        if fmt == "best":
-            dg = best_device_pack(graph)
-        elif fmt == "cpg":
-            from tpu_lanczos.kernels.cpg import pack_cpg
-
-            dg = pack_cpg(graph)
-        else:
-            dg = pack(graph, fmt=fmt, ell_pct=ell_pct)
+        if fmt == "cst":
+            raise ValueError(
+                "expm_action_summary supports fmt best/cpg/auto/ell/coo/"
+                "hyb (CST's 2-D mask layout doesn't fit the masked "
+                "top-k)")
+        dg = _resolve_dg(graph, fmt, ell_pct)
     dtype = jnp.dtype(dtype)
     mask = getattr(dg, "realmask", None)
     if mask is None or mask.ndim != 1 or mask.size != getattr(dg, "n_pad", -1):
@@ -241,7 +239,8 @@ def run_config(cfg, graph: CSRGraph | None = None, x: np.ndarray | None = None):
             # forward the tuned pack knobs (they were silently dropped
             # on the sharded path before)
             pack_kw = dict(theta=cfg.cpg_theta, sub=cfg.cpg_sub,
-                           order=cfg.cpg_order, layout=cfg.cpg_layout)
+                           order=cfg.cpg_order, layout=cfg.cpg_layout,
+                           redeal=cfg.cpg_redeal)
         return expm_action_sharded(
             graph, x, mesh=make_mesh(cfg.shards), fmt=fmt,
             pack_kw=pack_kw, **common

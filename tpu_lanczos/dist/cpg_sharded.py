@@ -185,11 +185,18 @@ def pack_cpg_sharded(
     # broadcast levels (n_bcast > 0) are a single-chip optimization the
     # sharded path doesn't carry yet -> force the dest-only pack.
     kw.setdefault("theta_s", None)
+    # the splitter slices l1 by sub rows/tile and treats s_ids as chunk
+    # ids — both wrong for the slab layout (LANE rows, slab ids); catch
+    # the request BEFORE paying for the pack
+    if kw.get("layout") == "slab":
+        raise ValueError(
+            "sharded CPG supports the classic layout only (layout='slab' "
+            "is a single-chip tile shape); drop the layout override")
+    # 'auto' may select slab on some graphs — pin classic for the mesh
+    kw["layout"] = "classic"
     cg: CPGGraph = pack_cpg(graph, **kw)
     assert cg.n_bcast == 0
-    # the splitter slices l1 by sub rows/tile and treats s_ids as chunk
-    # ids — both wrong for the slab layout (LANE rows, slab ids)
-    assert cg.layout != "slab", "sharded CPG supports the classic layout"
+    assert cg.layout != "slab"
 
     sub = cg.sub
     C = _round_up(cg.n_chunks, n_shards)

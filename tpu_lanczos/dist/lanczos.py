@@ -135,7 +135,7 @@ def expm_action_sharded(
     else:
         n = graph.n
         sg = pack_sharded(graph, n_shards, fmt=fmt, mesh=mesh)
-    k = int(min(k, n - 1))
+    k = int(max(min(k, n - 1), 1))
     dtype = jnp.dtype(dtype)
 
     x_host = np.ones(n) if x is None else np.asarray(x)

@@ -67,7 +67,10 @@ def lanczos(
         if j < k - 1:
             beta[j] = float(np.linalg.norm(v))
             q_prev = q
-            q = v / beta[j]
+            # exact-breakdown guard (matches the device paths' b > 0
+            # masking): the Krylov space is complete, later q_j stay 0
+            # and the answer is already exact in the spanned subspace
+            q = v / beta[j] if beta[j] > 0 else np.zeros(n)
     return OracleLanczos(alpha=alpha, beta=beta, q_basis=q_basis, x_norm=x_norm)
 
 

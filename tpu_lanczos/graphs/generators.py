@@ -98,11 +98,16 @@ def barabasi_albert(n: int, m: int, seed: int = 0, use_native: bool = False) -> 
     pool[1 : 2 * n_seed_edges : 2] = ju
     e = n_seed_edges
     for v in range(seed_nodes, n):
-        # sample m distinct degree-proportional targets
+        # sample m distinct degree-proportional targets; distinctness by
+        # FIRST OCCURRENCE in draw order — truncating the sorted unique
+        # set (np.unique(...)[:m]) would keep the m smallest node ids
+        # and bias attachment toward old nodes beyond degree weighting
         targets = np.unique(pool[rng.integers(0, 2 * e, size=m)])
         while targets.size < m:
             extra = pool[rng.integers(0, 2 * e, size=m)]
-            targets = np.unique(np.concatenate([targets, extra]))[:m]
+            cand = np.concatenate([targets, extra])
+            _, first = np.unique(cand, return_index=True)
+            targets = cand[np.sort(first)][:m]
         src[e : e + m] = v
         dst[e : e + m] = targets
         pool[2 * e : 2 * (e + m) : 2] = v

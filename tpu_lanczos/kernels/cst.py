@@ -261,9 +261,6 @@ def pack_cst(graph: CSRGraph, theta: int | None = None, seed: int = 0) -> CSTGra
     while cur_src.size:
         rsort = np.argsort(cur_dst, kind="stable")
         r_rows, r_cols = cur_dst[rsort], cur_src[rsort]
-        # split reduce-destinations with too many children
-        packed_rows = np.zeros(int(r_rows.max()) + 1 if r_rows.size else 1,
-                               dtype=np.int64)
         # reindex rows to compact ids for splitting bookkeeping
         uniq, inv = np.unique(r_rows, return_inverse=True)
         unit2, n_units2, parents2 = _split_rows(inv, r_cols, uniq.size, theta)

@@ -106,6 +106,17 @@ def main() -> int:
     ah_h = np.asarray(ah)
     assert np.all(np.isfinite(ah_h)) and np.all(np.isfinite(np.asarray(bh)))
     np.save(os.path.join(outdir, f"alpha_df_{pid}.npy"), ah_h)
+
+    # ---- fused estimator program across the boundary: every trace
+    # probe + the deflation pass run inside shard_map over the
+    # 2-process mesh (the CPG pack built above; results replicated)
+    from tpu_lanczos.core.stochastic import estrada_index_sharded
+
+    r = estrada_index_sharded(scg, k=8, probes=4, mesh=mesh, deflate=2,
+                              dtype="float32")
+    assert np.isfinite(r.log_estimate)
+    np.save(os.path.join(outdir, f"estrada_{pid}.npy"),
+            np.asarray([r.log_estimate]))
     print("MULTIHOST_OK", pid, flush=True)
     return 0
 

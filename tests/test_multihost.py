@@ -71,3 +71,8 @@ def test_two_process_distributed_lanczos(tmp_path):
     d1 = np.load(tmp_path / "alpha_df_1.npy")
     np.testing.assert_array_equal(d0, d1)
     assert d0.shape == (8,)
+    # fused sharded estimator (one program for all probes + deflation)
+    e0 = np.load(tmp_path / "estrada_0.npy")
+    e1 = np.load(tmp_path / "estrada_1.npy")
+    np.testing.assert_array_equal(e0, e1)
+    assert np.isfinite(e0).all()

@@ -49,7 +49,7 @@ from tpu_lanczos.core.stochastic import (
 )
 from tpu_lanczos.config import Config
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "CSRGraph",

@@ -183,8 +183,16 @@ def pack_cpg_sharded(
     collective can overlap the own-chunk SpMV."""
     # the shard splitter assumes levels = [main, reduce...]; source-split
     # broadcast levels (n_bcast > 0) are a single-chip optimization the
-    # sharded path doesn't carry yet -> force the dest-only pack.
-    kw.setdefault("theta_s", None)
+    # sharded path doesn't carry -> reject an explicit source-split cap
+    # BEFORE paying for the pack (a broadcast level mislabeled as the
+    # main level would silently corrupt the SpMV), and force dest-only.
+    ts = kw.get("theta_s")
+    if ts is not None and ts != "off":
+        raise ValueError(
+            "sharded CPG packs are dest-only (source-split broadcast "
+            "levels are a single-chip optimization); drop the theta_s "
+            "override")
+    kw["theta_s"] = None
     # the splitter slices l1 by sub rows/tile and treats s_ids as chunk
     # ids — both wrong for the slab layout (LANE rows, slab ids); catch
     # the request BEFORE paying for the pack
@@ -293,17 +301,25 @@ def pack_cpg_sharded(
                        if crosses else np.zeros(0, np.int64))
         sel = None
         halo_bufpos = None
-        if union_cross.size and union_cross.size * 2 <= C:
+        if union_cross.size:
             owner = np.minimum(union_cross // c_loc, n_shards - 1)
             per_owner = np.bincount(owner, minlength=n_shards)
             h_pad = max(int(per_owner.max()), 1)
-            sel = np.zeros((n_shards, h_pad), dtype=np.int32)
-            halo_bufpos = np.zeros(C, dtype=np.int32)
-            for sh in range(n_shards):
-                own = union_cross[owner == sh]
-                sel[sh, : own.size] = (own % c_loc).astype(np.int32)
-                halo_bufpos[own] = (
-                    sh * h_pad + np.arange(own.size, dtype=np.int32))
+            # gate on the REAL transfer — n_shards * h_pad padded
+            # chunks — not the raw union size: per-owner skew (all
+            # boundary chunks in one shard's block) can inflate the
+            # compact buffer to the full gather's size while still
+            # paying the per-iteration hsel copy
+            if n_shards * h_pad * 2 > C:
+                sel = halo_bufpos = None
+            else:
+                sel = np.zeros((n_shards, h_pad), dtype=np.int32)
+                halo_bufpos = np.zeros(C, dtype=np.int32)
+                for sh in range(n_shards):
+                    own = union_cross[owner == sh]
+                    sel[sh, : own.size] = (own % c_loc).astype(np.int32)
+                    halo_bufpos[own] = (
+                        sh * h_pad + np.arange(own.size, dtype=np.int32))
 
         if overlap and n_shards > 1:
             # split into own-source (reads q_loc, no collective
@@ -387,6 +403,14 @@ def pack_cpg_sharded(
         mask_sparse=tuple(mask_sparse),
         overlap=bool(overlap and n_shards > 1),
     )
+
+
+def _rows_specs(tree):
+    """PartitionSpec(ROWS, None, ...) for every leaf — the leading
+    shard axis every stacked level array carries."""
+    P = jax.sharding.PartitionSpec
+    return jax.tree.map(
+        lambda v: P(ROWS, *([None] * (v.ndim - 1))), tree)
 
 
 def _local_spmv(levels_loc, realmask_loc, q_loc, sub, c_loc, interpret,
@@ -491,11 +515,7 @@ def _lanczos_cpg_shmap(mesh, levels, realmask, x, k, sub, c_loc,
                        interpret, reorthogonalize, t_reals=(),
                        mask_sparse=(), overlap=False):
     P = jax.sharding.PartitionSpec
-
-    def shard_spec(v):
-        return P(ROWS, *([None] * (v.ndim - 1)))
-
-    level_specs = jax.tree.map(shard_spec, levels)
+    level_specs = _rows_specs(levels)
 
     def f(levels_loc, realmask_loc, x_loc):
         def local(q):
@@ -526,11 +546,7 @@ def _alphabeta_cpg_shmap(mesh, levels, realmask, x, k, sub, c_loc,
                          interpret, t_reals=(), mask_sparse=(),
                          overlap=False):
     P = jax.sharding.PartitionSpec
-
-    def shard_spec(v):
-        return P(ROWS, *([None] * (v.ndim - 1)))
-
-    level_specs = jax.tree.map(shard_spec, levels)
+    level_specs = _rows_specs(levels)
 
     def f(levels_loc, realmask_loc, x_loc):
         def local(q):
@@ -560,11 +576,7 @@ def _diag_probes_cpg_shmap(mesh, levels, realmask, mask, key, u_rows,
     from tpu_lanczos.dist.mesh import sharded_diag_probes_body
 
     P = jax.sharding.PartitionSpec
-
-    def shard_spec(v):
-        return P(ROWS, *([None] * (v.ndim - 1)))
-
-    level_specs = jax.tree.map(shard_spec, levels)
+    level_specs = _rows_specs(levels)
 
     def f(levels_loc, realmask_loc, mask_loc, key, u_loc, w_defl, shift):
         def local(q):
@@ -607,11 +619,7 @@ def _trace_probes_cpg_shmap(mesh, levels, realmask, mask, key, u_rows,
     from tpu_lanczos.dist.mesh import sharded_trace_probes_body
 
     P = jax.sharding.PartitionSpec
-
-    def shard_spec(v):
-        return P(ROWS, *([None] * (v.ndim - 1)))
-
-    level_specs = jax.tree.map(shard_spec, levels)
+    level_specs = _rows_specs(levels)
 
     def f(levels_loc, realmask_loc, mask_loc, key, u_loc):
         def local(q):

@@ -191,12 +191,10 @@ def _body_core_sh(local_df, q, q_prev, beta_prev, n_shards):
 def _alphabeta_df_shmap(mesh, levels, realmask, x_hi, x_lo, k, sub,
                         c_loc, interpret, t_reals, mask_sparse, overlap,
                         n_shards):
+    from tpu_lanczos.dist.cpg_sharded import _rows_specs
+
     P = jax.sharding.PartitionSpec
-
-    def shard_spec(v):
-        return P(ROWS, *([None] * (v.ndim - 1)))
-
-    level_specs = jax.tree.map(shard_spec, levels)
+    level_specs = _rows_specs(levels)
 
     def f(levels_loc, realmask_loc, xh_loc, xl_loc):
         def local(q):
@@ -242,12 +240,10 @@ def _alphabeta_df_shmap(mesh, levels, realmask, x_hi, x_lo, k, sub,
 def _recombine_df_shmap(mesh, levels, realmask, x_hi, x_lo, coeff_hi,
                         coeff_lo, k, sub, c_loc, interpret, t_reals,
                         mask_sparse, overlap, n_shards):
+    from tpu_lanczos.dist.cpg_sharded import _rows_specs
+
     P = jax.sharding.PartitionSpec
-
-    def shard_spec(v):
-        return P(ROWS, *([None] * (v.ndim - 1)))
-
-    level_specs = jax.tree.map(shard_spec, levels)
+    level_specs = _rows_specs(levels)
 
     def f(levels_loc, realmask_loc, xh_loc, xl_loc, ch, cl):
         def local(q):

@@ -59,7 +59,6 @@ GROUP_PAD = 16
 # cells with sub), cutting the per-block tier maxima that set tile count;
 # the kernel's second gather then needs sub/128 slab-selects.  256 wins
 # for ~1M-row power-law graphs; 128 for small graphs.
-CHUNK = LANE * REAL_LANES  # real positions per 128-sublane chunk unit
 
 
 def _round_up(x: int, m: int) -> int:
@@ -588,6 +587,10 @@ def mask_from_l1l2(l1: np.ndarray, l2: np.ndarray, sub: int,
     n_slab = sub // LANE
     if layout == "slab":
         T = l2.shape[0] // LANE
+        if n_slab > _MASK_MAX_BITS:
+            # int32 mask capacity: same all-dense sentinel the builders
+            # and the classic recovery path use past 30 bits
+            return np.full(T, -1, dtype=np.int32)
         mask = np.zeros(T, dtype=np.int32)
         real = l2 < LANE                       # (T*128, sub)
         j_any = real.reshape(T, LANE, n_slab, LANE).any(axis=(1, 3))

@@ -486,12 +486,7 @@ def spmv_cpg_df(cg: CPGGraph, x_hi: jnp.ndarray, x_lo: jnp.ndarray,
 def available_for(graph) -> bool:
     """The HBM-streamed-x variant lifts the VMEM bound; the remaining
     limits are HBM capacity for the index tiles and host pack time."""
-    try:
-        import jax
-
-        if jax.default_backend() in ("cpu", "gpu"):
-            return False
-    except Exception:
+    if jax.default_backend() in ("cpu", "gpu"):
         return False
     return graph.n <= 80_000_000
 

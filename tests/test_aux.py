@@ -486,6 +486,25 @@ def test_cli_estrada_func_guards():
                  "--subgraph", "8"]) == 2
 
 
+def test_cli_dos(tmp_path, capsys):
+    """--dos prints the spectral interval + density summary and dumps a
+    (lambda, density) table; works single-chip and sharded."""
+    from tpu_lanczos.cli.main import main
+
+    p = str(tmp_path / "dos.txt")
+    rc = main(["-n", "400", "-b", "3", "-k", "40", "--dtype", "float64",
+               "--dos", "16", "--no-serial", "--write-ans", p])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "spectral density (DOS)" in out and "mass=" in out
+    tab = np.loadtxt(p)
+    assert tab.shape[1] == 2 and np.all(tab[:, 1] >= 0)
+    rc = main(["-n", "400", "-b", "3", "-k", "40", "--dtype", "float64",
+               "--dos", "8", "--shards", "4", "--no-serial"])
+    assert rc == 0
+    assert "spectral density (DOS)" in capsys.readouterr().out
+
+
 def test_cli_estrada_heat_sharded(capsys):
     from tpu_lanczos.cli.main import main
 

@@ -86,6 +86,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="estimate subgraph centrality diag(e^A) for every "
                         "node with PROBES Hutchinson probes; prints the "
                         "top-10 nodes")
+    p.add_argument("--dos", type=int, default=0, metavar="PROBES",
+                   help="estimate the spectral density (DOS) of A by "
+                        "stochastic Lanczos quadrature with PROBES "
+                        "probes; prints the spectral interval and "
+                        "density peaks (use --write-ans to dump the "
+                        "grid/density table)")
     p.add_argument("--deflate", type=int, default=8, metavar="M",
                    help="rank of the top-Ritz deflation basis for "
                         "--estrada/--subgraph variance reduction (0 = "
@@ -248,12 +254,12 @@ def _main(args) -> int:
             print(f"answers written to {args.write_ans}.k<K>")
         return 0
 
-    # ---------------- stochastic spectral estimators (--estrada/--subgraph)
-    if args.estrada or args.subgraph:
+    # -------- stochastic spectral estimators (--estrada/--subgraph/--dos)
+    if args.estrada or args.subgraph or args.dos:
         if (args.topk or args.low_mem
                 or args.dtype == "df64" or args.reorthogonalize
                 or args.ks or args.pipeline):
-            print("error: --estrada/--subgraph run the f32/f64 "
+            print("error: --estrada/--subgraph/--dos run the f32/f64 "
                   "pipeline (no --topk/--low-mem/df64/"
                   "--reorthogonalize/--ks/--pipeline)", file=sys.stderr)
             return 2
@@ -268,8 +274,8 @@ def _main(args) -> int:
         if args.log_scale:
             print("note: --log-scale is implied by the estimators (they "
                   "work in shifted space); flag ignored", file=sys.stderr)
-        if args.write_ans and not args.subgraph:
-            print("note: --write-ans applies to --subgraph only "
+        if args.write_ans and not (args.subgraph or args.dos):
+            print("note: --write-ans applies to --subgraph/--dos only "
                   "(--estrada yields a scalar); flag ignored",
                   file=sys.stderr)
         mesh = sg = dgc = None
@@ -386,6 +392,34 @@ def _main(args) -> int:
                 write_ans(dr.diag_scaled, args.write_ans)
                 print(f"scaled diagonal written to {args.write_ans} "
                       f"(true diag = value * e^{dr.log_scale:.4f})")
+        if args.dos:
+            t0 = time.time()
+            if mesh is not None:
+                d = stochastic.spectral_density_sharded(
+                    sg, k=k, probes=args.dos, mesh=mesh,
+                    seed=args.seed, dtype=args.dtype)
+            else:
+                d = stochastic.spectral_density(
+                    g, k=k, probes=args.dos, seed=args.seed,
+                    dtype=args.dtype, dg=dgc)
+            dt = time.time() - t0
+            mass = float(np.trapezoid(d.density, d.grid))
+            print(f"spectral density (DOS): lambda in "
+                  f"[{d.lambda_min:.4f}, {d.lambda_max:.4f}], "
+                  f"sigma={d.sigma:.4f}")
+            print(f"  probes={d.probes} k={d.k} mass={mass:.4f}  "
+                  f"[{dt:.4f}s incl. compile on first run]")
+            idx = np.argsort(d.density)[::-1][:3]
+            print("  density peaks near lambda ~ " + ", ".join(
+                f"{d.grid[i]:.3f} ({d.density[i]:.4g})"
+                for i in sorted(idx)))
+            if args.write_ans:
+                # two-column (lambda, density) table; suffixed when
+                # --subgraph already claimed the path
+                path = (args.write_ans + ".dos" if args.subgraph
+                        else args.write_ans)
+                np.savetxt(path, np.column_stack([d.grid, d.density]))
+                print(f"DOS table (lambda, density) written to {path}")
         return 0
 
     # ---------------- general spectral function (--func != exp)

@@ -51,7 +51,11 @@ def main(argv=None):
         z = np.load(gpath)
         g = CSRGraph(indptr=z["indptr"], indices=z["indices"], n=int(z["n"]))
     else:
-        g = generators.barabasi_albert(args.n, args.m, seed=args.seed)
+        # the cache key says _native: generate with the native sampler
+        # (bench.py's graph) so cache regeneration after a wipe serves
+        # the same graph the committed records measured
+        g = generators.barabasi_albert(args.n, args.m, seed=args.seed,
+                                       use_native=True)
         np.savez(gpath, indptr=g.indptr, indices=g.indices, n=g.n)
 
     x = np.ones(g.n, np.float64)

@@ -50,7 +50,12 @@ def main(argv=None):
         z = np.load(gpath)
         g = CSRGraph(indptr=z["indptr"], indices=z["indices"], n=int(z["n"]))
     else:
-        g = generators.barabasi_albert(args.n, args.m, seed=0)
+        # native sampler + save: the key is _native-suffixed and the CPG
+        # pack cache below must correspond to THIS graph on later runs
+        g = generators.barabasi_albert(args.n, args.m, seed=0,
+                                       use_native=True)
+        os.makedirs(args.cache, exist_ok=True)
+        np.savez(gpath, indptr=g.indptr, indices=g.indices, n=g.n)
 
     import jax
 

@@ -99,11 +99,20 @@ class CSRGraph:
         )
 
     def validate(self) -> None:
-        assert self.indptr.shape == (self.n + 1,)
-        assert self.indptr[0] == 0 and self.indptr[-1] == self.nnz
-        assert np.all(np.diff(self.indptr) >= 0)
-        if self.nnz:
-            assert self.indices.min() >= 0 and self.indices.max() < self.n
+        """Raise ValueError on a malformed graph.  Real raises, not
+        asserts: validate() must keep its contract under ``python -O``
+        (asserts compile out there, silently passing invalid graphs)."""
+        if self.indptr.shape != (self.n + 1,):
+            raise ValueError(
+                f"indptr shape {self.indptr.shape} != ({self.n + 1},)")
+        if self.indptr[0] != 0 or self.indptr[-1] != self.nnz:
+            raise ValueError("indptr must run 0..nnz")
+        if not np.all(np.diff(self.indptr) >= 0):
+            raise ValueError("indptr must be non-decreasing")
+        if self.nnz and not (self.indices.min() >= 0
+                             and self.indices.max() < self.n):
+            raise ValueError("column index out of range")
         # symmetric: A == A^T
         s = self.to_scipy()
-        assert (s != s.T).nnz == 0, "adjacency must be symmetric"
+        if (s != s.T).nnz != 0:
+            raise ValueError("adjacency must be symmetric")

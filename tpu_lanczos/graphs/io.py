@@ -46,7 +46,27 @@ def _read_tokens(path: str) -> tuple[int, int, np.ndarray]:
         raise ValueError(f"adjacency matrix must be square, got {n}x{n2}")
     declared_e = int(header[2])
     body = b"\n".join(lines[body_start + 1 :])
-    arr = np.array(body.split(), dtype=np.float64)
+    # np.fromstring parses tokens without materializing one Python bytes
+    # object per token (body.split() costs several GB of object overhead
+    # on a 30M-edge file); whitespace sep treats newlines like spaces
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore", DeprecationWarning)
+        arr = np.fromstring(body, dtype=np.float64, sep=" ")
+    # fromstring STOPS at the first unparseable token without raising —
+    # compare against a bytes-level token count so a corrupt body errors
+    # instead of silently truncating the edge list
+    bb = np.frombuffer(body, dtype=np.uint8)
+    isws = (bb == 32) | (bb == 9) | (bb == 10) | (bb == 13)
+    starts = ~isws
+    if starts.size:
+        starts = starts & np.concatenate([[True], isws[:-1]])
+    n_tokens = int(starts.sum())
+    if arr.size != n_tokens:
+        raise ValueError(
+            f"{path}: unparseable data token (parsed {arr.size} of "
+            f"{n_tokens} tokens)")
     if arr.size == 0:
         return n, declared_e, np.zeros((0, 2), dtype=np.int64)
     # lines may carry 2 or 3 tokens (pattern vs weighted mtx); infer the

@@ -33,14 +33,18 @@ def _build() -> str | None:
     try:
         if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
             return None
+        # per-pid tmp: concurrent first builds (multi-process tests)
+        # must not write the same tmp file; os.replace keeps the
+        # install atomic per process
+        tmp = f"{_SO}.{os.getpid()}.tmp"
         cmd = [
             "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-            "-o", _SO + ".tmp", _SRC,
+            "-o", tmp, _SRC,
         ]
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
         if proc.returncode != 0:
             return proc.stderr[-2000:]
-        os.replace(_SO + ".tmp", _SO)
+        os.replace(tmp, _SO)
         return None
     except Exception as exc:  # no g++, read-only fs, ...
         return str(exc)
@@ -55,55 +59,66 @@ def _load():
         if err is not None:
             _build_error = err
             return None
-        lib = ctypes.CDLL(_SO)
-        c_i64, c_p = ctypes.c_int64, ctypes.c_void_p
-        lib.gc_csr_from_edges.restype = c_p
-        lib.gc_csr_from_edges.argtypes = [c_i64, c_i64, c_p, c_p]
-        lib.gc_csr_n.restype = c_i64
-        lib.gc_csr_n.argtypes = [c_p]
-        lib.gc_csr_nnz.restype = c_i64
-        lib.gc_csr_nnz.argtypes = [c_p]
-        lib.gc_csr_fill.restype = None
-        lib.gc_csr_fill.argtypes = [c_p, c_p, c_p]
-        lib.gc_csr_free.restype = None
-        lib.gc_csr_free.argtypes = [c_p]
-        lib.gc_parse_mtx.restype = c_p
-        lib.gc_parse_mtx.argtypes = [ctypes.c_char_p]
-        lib.gc_edges_n.restype = c_i64
-        lib.gc_edges_n.argtypes = [c_p]
-        lib.gc_edges_count.restype = c_i64
-        lib.gc_edges_count.argtypes = [c_p]
-        lib.gc_edges_fill.restype = None
-        lib.gc_edges_fill.argtypes = [c_p, c_p, c_p]
-        lib.gc_edges_free.restype = None
-        lib.gc_edges_free.argtypes = [c_p]
-        lib.gc_barabasi.restype = c_p
-        lib.gc_barabasi.argtypes = [c_i64, c_i64, ctypes.c_uint64]
-        lib.gc_uniform.restype = c_p
-        lib.gc_uniform.argtypes = [c_i64, c_i64, ctypes.c_uint64]
-        lib.gc_edge_color.restype = c_i64
-        lib.gc_edge_color.argtypes = [c_i64, c_i64, c_i64, c_p, c_p, c_p]
-        lib.gc_compact_i64.restype = c_i64
-        lib.gc_compact_i64.argtypes = [c_i64, c_p, c_p, c_p]
-        lib.gc_gpg_color.restype = c_i64
-        lib.gc_gpg_color.argtypes = [c_i64, c_i64, c_i64,
-                                     c_p, c_p, c_p, c_p, c_p]
-        lib.gc_cpg_build_level.restype = c_p
-        lib.gc_cpg_build_level.argtypes = [c_i64, c_i64, c_i64, c_p, c_p]
-        lib.gc_cpgl_tiles.restype = c_i64
-        lib.gc_cpgl_tiles.argtypes = [c_p]
-        lib.gc_cpgl_fill.restype = None
-        lib.gc_cpgl_fill.argtypes = [c_p, c_p, c_p, c_p, c_p]
-        lib.gc_cpgl_fill_mask.restype = None
-        lib.gc_cpgl_fill_mask.argtypes = [c_p, c_p]
-        lib.gc_cpgl_free.restype = None
-        lib.gc_cpgl_free.argtypes = [c_p]
-        lib.gc_split_rows.restype = c_i64
-        lib.gc_split_rows.argtypes = [c_i64, c_i64, c_i64, c_p, c_p, c_p]
-        lib.gc_group_deal.restype = None
-        lib.gc_group_deal.argtypes = [c_i64, c_p, c_p, c_p, c_p]
+        try:
+            lib = _bind(ctypes.CDLL(_SO))
+        except Exception as exc:
+            # corrupt/stale .so (interrupted build, missing symbol):
+            # record the error so available() returns False instead of
+            # raising — the module's documented degradation contract
+            _build_error = f"failed to load {_SO}: {exc}"
+            return None
         _lib = lib
         return _lib
+
+
+def _bind(lib):
+    c_i64, c_p = ctypes.c_int64, ctypes.c_void_p
+    lib.gc_csr_from_edges.restype = c_p
+    lib.gc_csr_from_edges.argtypes = [c_i64, c_i64, c_p, c_p]
+    lib.gc_csr_n.restype = c_i64
+    lib.gc_csr_n.argtypes = [c_p]
+    lib.gc_csr_nnz.restype = c_i64
+    lib.gc_csr_nnz.argtypes = [c_p]
+    lib.gc_csr_fill.restype = None
+    lib.gc_csr_fill.argtypes = [c_p, c_p, c_p]
+    lib.gc_csr_free.restype = None
+    lib.gc_csr_free.argtypes = [c_p]
+    lib.gc_parse_mtx.restype = c_p
+    lib.gc_parse_mtx.argtypes = [ctypes.c_char_p]
+    lib.gc_edges_n.restype = c_i64
+    lib.gc_edges_n.argtypes = [c_p]
+    lib.gc_edges_count.restype = c_i64
+    lib.gc_edges_count.argtypes = [c_p]
+    lib.gc_edges_fill.restype = None
+    lib.gc_edges_fill.argtypes = [c_p, c_p, c_p]
+    lib.gc_edges_free.restype = None
+    lib.gc_edges_free.argtypes = [c_p]
+    lib.gc_barabasi.restype = c_p
+    lib.gc_barabasi.argtypes = [c_i64, c_i64, ctypes.c_uint64]
+    lib.gc_uniform.restype = c_p
+    lib.gc_uniform.argtypes = [c_i64, c_i64, ctypes.c_uint64]
+    lib.gc_edge_color.restype = c_i64
+    lib.gc_edge_color.argtypes = [c_i64, c_i64, c_i64, c_p, c_p, c_p]
+    lib.gc_compact_i64.restype = c_i64
+    lib.gc_compact_i64.argtypes = [c_i64, c_p, c_p, c_p]
+    lib.gc_gpg_color.restype = c_i64
+    lib.gc_gpg_color.argtypes = [c_i64, c_i64, c_i64,
+                                 c_p, c_p, c_p, c_p, c_p]
+    lib.gc_cpg_build_level.restype = c_p
+    lib.gc_cpg_build_level.argtypes = [c_i64, c_i64, c_i64, c_p, c_p]
+    lib.gc_cpgl_tiles.restype = c_i64
+    lib.gc_cpgl_tiles.argtypes = [c_p]
+    lib.gc_cpgl_fill.restype = None
+    lib.gc_cpgl_fill.argtypes = [c_p, c_p, c_p, c_p, c_p]
+    lib.gc_cpgl_fill_mask.restype = None
+    lib.gc_cpgl_fill_mask.argtypes = [c_p, c_p]
+    lib.gc_cpgl_free.restype = None
+    lib.gc_cpgl_free.argtypes = [c_p]
+    lib.gc_split_rows.restype = c_i64
+    lib.gc_split_rows.argtypes = [c_i64, c_i64, c_i64, c_p, c_p, c_p]
+    lib.gc_group_deal.restype = None
+    lib.gc_group_deal.argtypes = [c_i64, c_p, c_p, c_p, c_p]
+    return lib
 
 
 def available() -> bool:
@@ -142,6 +157,8 @@ def _edges_to_csr(lib, h) -> CSRGraph:
     finally:
         lib.gc_edges_free(h)
     ch = lib.gc_csr_from_edges(n, e, _ptr(src), _ptr(dst))
+    if not ch:
+        raise ValueError("edge endpoint out of range")
     return _csr_from_handle(lib, ch)
 
 
@@ -155,7 +172,8 @@ def csr_from_edges(n: int, edges: np.ndarray) -> CSRGraph:
     dst = np.ascontiguousarray(edges[:, 1])
     h = lib.gc_csr_from_edges(n, edges.shape[0], _ptr(src), _ptr(dst))
     if not h:
-        raise ValueError("gc_csr_from_edges failed")
+        raise ValueError(
+            "edge endpoint out of range (or allocation failure)")
     return _csr_from_handle(lib, h)
 
 
@@ -251,12 +269,16 @@ def split_rows(rows: np.ndarray, n_units0: int, theta: int):
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native core unavailable: {_build_error}")
+    if theta < 1:
+        raise ValueError(f"theta must be >= 1, got {theta}")
     r = np.ascontiguousarray(rows, dtype=np.int64)
     unit = np.empty(r.size, dtype=np.int64)
     # upper bound on virtual units: sum(ceil(deg/theta) - 1) <= E / theta
-    parents = np.empty(r.size // max(theta, 1) + 1, dtype=np.int64)
+    parents = np.empty(r.size // theta + 1, dtype=np.int64)
     n_units = lib.gc_split_rows(r.size, n_units0, theta, _ptr(r),
                                 _ptr(unit), _ptr(parents))
+    if n_units < 0:
+        raise ValueError("gc_split_rows failed (invalid arguments)")
     return unit, int(n_units), parents[: n_units - n_units0]
 
 

@@ -45,7 +45,10 @@ CSRHandle *build_csr(int64_t n, int64_t e, const int64_t *src,
   const uint64_t un = static_cast<uint64_t>(n);
   for (int64_t i = 0; i < e; ++i) {
     const int64_t a = src[i], b = dst[i];
-    if (a == b || a < 0 || b < 0 || a >= n || b >= n) continue;
+    if (a == b) continue;  // self-loops dropped (reference semantics)
+    // out-of-range endpoints are an error, matching the numpy oracle
+    // CSRGraph.from_edges (silent dropping hid corrupt inputs)
+    if (a < 0 || b < 0 || a >= n || b >= n) return nullptr;
     keys.push_back(static_cast<uint64_t>(a) * un + static_cast<uint64_t>(b));
     keys.push_back(static_cast<uint64_t>(b) * un + static_cast<uint64_t>(a));
   }
@@ -72,7 +75,11 @@ extern "C" {
 
 void *gc_csr_from_edges(int64_t n, int64_t e, const int64_t *src,
                         const int64_t *dst) {
-  return build_csr(n, e, src, dst);
+  try {
+    return build_csr(n, e, src, dst);
+  } catch (...) {  // bad_alloc etc. must not unwind through ctypes
+    return nullptr;
+  }
 }
 
 int64_t gc_csr_n(void *h) { return static_cast<CSRHandle *>(h)->n; }
@@ -92,7 +99,7 @@ void gc_csr_free(void *h) { delete static_cast<CSRHandle *>(h); }
 // '%' comments, an "n n E" header, then E lines of 1-indexed pairs (a third
 // column, if present, is ignored).  Returns an edge-list handle (0-indexed,
 // unsymmetrized — CSR construction symmetrizes), or nullptr on error.
-void *gc_parse_mtx(const char *path) {
+static void *parse_mtx_impl(const char *path) {
   FILE *f = std::fopen(path, "rb");
   if (!f) return nullptr;
   std::fseek(f, 0, SEEK_END);
@@ -132,13 +139,23 @@ void *gc_parse_mtx(const char *path) {
     return neg ? -v : v;
   };
 
+  auto skip_token = [&] {  // any non-ws run (float/nan/inf weights)
+    skip_ws();
+    while (p < end && *p != ' ' && *p != '\t' && *p != '\r' && *p != '\n')
+      ++p;
+  };
+
   // comments
   skip_ws();
   while (p < end && *p == '%') { skip_line(); skip_ws(); }
   const int64_t n = parse_int();
   const int64_t n2 = parse_int();
   const int64_t declared_e = parse_int();
-  if (n <= 0 || n != n2) return nullptr;
+  // a data line needs >= 4 bytes, so a sane count is bounded by the
+  // file size — this also stops a corrupt header's reserve() from
+  // throwing bad_alloc (or a >int64 count wrapping negative)
+  if (n <= 0 || n != n2 || declared_e < 0 || declared_e > size)
+    return nullptr;
   skip_line();
 
   // detect tokens-per-line from the first data line (2 = pattern, 3 = weighted)
@@ -162,14 +179,32 @@ void *gc_parse_mtx(const char *path) {
   h->dst.reserve(static_cast<size_t>(declared_e));
   while (true) {
     skip_ws();
-    if (p >= end || !(*p >= '0' && *p <= '9')) break;
+    if (p >= end) break;
+    if (!(*p >= '0' && *p <= '9')) {
+      // malformed token (incl. mid-file '%' comments, which the numpy
+      // fallback also rejects): ERROR, never a silently truncated list
+      delete h;
+      return nullptr;
+    }
     const int64_t a = parse_int();
     const int64_t b = parse_int();
-    for (int c = 2; c < cols; ++c) (void)parse_int();
-    h->src.push_back(a - 1); // 1-indexed on disk
+    for (int c = 2; c < cols; ++c) skip_token();
+    if (a < 1 || b < 1 || a > n || b > n) {  // 1-indexed on disk
+      delete h;
+      return nullptr;
+    }
+    h->src.push_back(a - 1);
     h->dst.push_back(b - 1);
   }
   return h;
+}
+
+void *gc_parse_mtx(const char *path) {
+  try {
+    return parse_mtx_impl(path);
+  } catch (...) {  // bad_alloc etc. must not unwind through ctypes
+    return nullptr;
+  }
 }
 
 int64_t gc_edges_n(void *h) { return static_cast<EdgeListHandle *>(h)->n; }
@@ -906,6 +941,7 @@ extern "C" void gc_cpgl_free(void *h) {
 extern "C" int64_t gc_split_rows(int64_t n_entries, int64_t n_units0,
                                  int64_t theta, const int64_t *rows,
                                  int64_t *unit_out, int64_t *parents_out) {
+  if (theta < 1 || n_entries < 0) return -1;  // no SIGFPE on theta=0
   int64_t n_units = n_units0;
   int64_t e = 0;
   int64_t n_extra = 0;

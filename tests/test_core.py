@@ -209,6 +209,31 @@ def test_expm_action_summary_cpg_permuted():
     assert set(s.top_nodes.tolist()) == set(order.tolist())
 
 
+def test_fa_action_f64_coefficient_overflow_rescales():
+    """fe finite in f64 but fe * x_norm * V[0,:] overflowing f64: the
+    coefficient stage must pre-scale and return a finite scaled answer
+    + shift (it used to silently return all-NaN with shift=None)."""
+    import numpy as np
+
+    from tpu_lanczos import fa_action
+    from tpu_lanczos.graphs import generators
+
+    g = generators.barabasi_albert(200, 3, seed=1)
+    ev = np.linalg.eigvalsh(g.to_scipy().toarray())
+    lo, hi = ev[0], ev[-1]
+    f = lambda e: np.exp(708.0 * (e - lo) / (hi - lo))  # f(hi) ~ 1.1e307
+    r = fa_action(g, f, k=40, dtype="float64")
+    assert np.all(np.isfinite(r.ans))
+    assert r.log_scale is not None and r.log_scale > 700
+    # cross-check on the SCALED common scale against the dense truth
+    w, V = np.linalg.eigh(g.to_scipy().toarray())
+    fe_scaled = np.exp(708.0 * (w - lo) / (hi - lo) - r.log_scale)
+    ref_scaled = V @ (fe_scaled * (V.T @ np.ones(g.n)))
+    rel = (np.linalg.norm(r.ans - ref_scaled)
+           / np.linalg.norm(ref_scaled))
+    assert rel < 1e-8
+
+
 def test_fa_action_general_spectral_functions():
     """f(A)x for arbitrary f via the same Lanczos pipeline, checked
     against the dense eigendecomposition: heat kernel exp(-t*lambda),

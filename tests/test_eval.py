@@ -32,12 +32,15 @@ def test_stage_timer():
 
     t = StageTimer()
     x = jnp.ones((256, 256))
-    with t.stage("mm", x):
+    with t.stage("mm", x) as st:
         y = x @ x
-    with t.stage("sum", y):
+        st.fence(y)  # the stage's OWN output is fenced at exit
+    with t.stage("sum", y) as st:
         z = y.sum()
+        st.fence(z)
     assert set(t.stages) == {"mm", "sum"}
     assert "total" in t.table()
+    assert all(v > 0 for v in t.stages.values())
 
 
 def test_timed():

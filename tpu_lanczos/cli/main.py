@@ -583,7 +583,7 @@ def _main(args) -> int:
         ans, shift, state, _ = expm_action_sharded(
             g, k=k, mesh=mesh, dtype=args.dtype, fmt=args.fmt,
             reorthogonalize=args.reorthogonalize, log_scale=args.log_scale,
-            pack_kw=pack_kw,
+            pack_kw=pack_kw, ell_pct=args.ell_pct,
         )
     else:
         from tpu_lanczos.core.pipeline import expm_action

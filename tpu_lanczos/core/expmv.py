@@ -64,15 +64,18 @@ def fa_multiply_out_host_eig(state: LanczosState, f):
     kernels f=exp(-t*lambda), Katz/resolvent f=1/(sigma-lambda)
     (sigma > lambda_max), wave kernels f=cos, etc.
 
-    Returns ``(ans_scaled, log_scale)``: when the f64 coefficient vector
-    would overflow or underflow the working dtype (heat kernels at large
-    |t| on graphs with negative eigenvalues, resolvents near the
-    spectrum — the same hazard the reference's f32 exp path hit,
-    single_double.txt:27-31), the GEMV runs on tmp * e^-s with
-    s = log(max|tmp|) and ``log_scale=s`` is returned; otherwise
-    ``log_scale`` is None.  True ans = ans_scaled * e^log_scale.
-    Raises FloatingPointError when f is non-finite on a Ritz value
-    (e.g. a resolvent pole inside the spectrum)."""
+    Returns ``(ans_scaled, log_scale)``: when the coefficient vector
+    would overflow or underflow the WORKING dtype — or when forming it
+    would already overflow float64 (heat kernels at large |t| on graphs
+    with negative eigenvalues, resolvents near the spectrum; the same
+    hazard class as the reference's f32 exp path,
+    single_double.txt:27-31) — the GEMV runs on a rescaled tmp and
+    ``log_scale`` carries the shift; otherwise ``log_scale`` is None.
+    True ans = ans_scaled * e^log_scale.  Raises FloatingPointError
+    only when f itself is non-finite IN float64 on a Ritz value (a
+    resolvent pole inside the spectrum, or f(theta) past ~1.8e308 —
+    evaluate a pre-scaled f, e.g. ev -> exp(-t*(ev - ev_min)), and add
+    the known offset to log_scale yourself in that regime)."""
     alpha_h, beta_h, x_norm_h = jax.device_get(
         (state.alpha, state.beta, state.x_norm)
     )  # one host sync, not three (see multiply_out_host_eig)
@@ -85,19 +88,28 @@ def fa_multiply_out_host_eig(state: LanczosState, f):
             "exp-family f at scale use expm_action's log_scale path); "
             "cannot form f(A).x"
         )
+    # pre-scale in f64 BEFORE forming w: fe is finite but
+    # fe * x_norm * V[0,:] (or the k-term GEMV) can still overflow f64,
+    # which would skip the dtype guard below on NaN and return garbage
+    shift = 0.0
+    peak_fe = float(np.max(np.abs(fe)))
+    if peak_fe > 0 and peak_fe > float(np.finfo(np.float64).max) / 1e10:
+        shift = float(np.log(peak_fe))
+        fe = fe * np.exp(-shift)
     w = fe * (float(x_norm_h) * evecs[0, :])
     tmp = evecs @ w
     dtype = state.q_basis.dtype
     fin = np.finfo(np.float32 if dtype == jnp.bfloat16 else dtype)
     peak = float(np.max(np.abs(tmp)))
-    shift = None
     # 1e6 headroom: the GEMV accumulates up to k terms and the answer's
     # norm can exceed the coefficient peak by ||Q|| factors
     if peak > 0 and (peak > float(fin.max) / 1e6
                      or peak < float(fin.tiny) * 1e6):
-        shift = float(np.log(peak))
-        tmp = tmp * np.exp(-shift)
-    return _gemv(jnp.asarray(tmp.astype(dtype)), state.q_basis), shift
+        extra = float(np.log(peak))
+        tmp = tmp * np.exp(-extra)
+        shift += extra
+    out_shift = shift if shift != 0.0 else None
+    return _gemv(jnp.asarray(tmp.astype(dtype)), state.q_basis), out_shift
 
 
 def multiply_out_host_eig(state: LanczosState, log_scale: bool = False):

@@ -243,7 +243,7 @@ def run_config(cfg, graph: CSRGraph | None = None, x: np.ndarray | None = None):
                            redeal=cfg.cpg_redeal)
         return expm_action_sharded(
             graph, x, mesh=make_mesh(cfg.shards), fmt=fmt,
-            pack_kw=pack_kw, **common
+            pack_kw=pack_kw, ell_pct=cfg.ell_pct, **common
         )
     dg = None
     if cfg.fmt == "cpg":

@@ -110,6 +110,7 @@ def expm_action_sharded(
     log_scale: bool = False,
     eig_impl: str = "host",
     pack_kw: dict | None = None,
+    ell_pct: float = 90.0,
 ):
     """Multi-chip e^A.x. Accepts a host CSRGraph (packs it for the mesh)
     or a pre-packed ShardedGraph. ``fmt="cpg"`` (or "best" on TPU) uses
@@ -134,7 +135,8 @@ def expm_action_sharded(
                               **(pack_kw or {}))
     else:
         n = graph.n
-        sg = pack_sharded(graph, n_shards, fmt=fmt, mesh=mesh)
+        sg = pack_sharded(graph, n_shards, fmt=fmt, mesh=mesh,
+                          ell_pct=ell_pct)
     k = int(max(min(k, n - 1), 1))
     dtype = jnp.dtype(dtype)
 

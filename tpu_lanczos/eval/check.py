@@ -69,6 +69,8 @@ def convergence_study(run_fn, ks, ref_k: int | None = None):
     """Run ``run_fn(k) -> ans`` over a k grid; report successive relative
     differences (the writeup Table 5 metric: norm(ans_k - ans_k')/norm)."""
     ks = sorted(ks)
+    if ref_k is not None and ref_k not in ks:
+        raise ValueError(f"ref_k={ref_k} must be one of ks={ks}")
     answers = {k: np.asarray(run_fn(k), dtype=np.float64) for k in ks}
     out = {}
     for k_prev, k in zip(ks[:-1], ks[1:]):

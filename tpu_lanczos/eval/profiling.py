@@ -16,6 +16,18 @@ import time
 import jax
 
 
+class _StageHandle:
+    """Collects the arrays a stage produced, for the exit fence."""
+
+    def __init__(self):
+        self._outs: list = []
+
+    def fence(self, *arrays):
+        """Register arrays whose device work belongs to this stage; the
+        stage's exit blocks on them."""
+        self._outs.extend(arrays)
+
+
 class StageTimer:
     """Accumulates wall time per named stage with device fencing."""
 
@@ -24,13 +36,23 @@ class StageTimer:
 
     @contextlib.contextmanager
     def stage(self, name: str, *fence):
-        """Times the block; ``fence`` arrays (if given) are waited on
-        before and after so only this stage's device work is counted."""
+        """Times the block.  ``fence`` arrays (pre-existing inputs) are
+        waited on at ENTRY so previously queued device work is not
+        billed to this stage.  Arrays the stage itself produces must be
+        registered on the yielded handle (``st.fence(out)``) — JAX
+        dispatch returns before execution, and the stage's own device
+        work is only counted if its outputs are fenced at exit:
+
+            with t.stage("lanczos", x) as st:
+                state = lanczos(dg, x, k)
+                st.fence(state)
+        """
         for f in fence:
             jax.block_until_ready(f)
+        h = _StageHandle()
         t0 = time.time()
-        yield
-        for f in fence:
+        yield h
+        for f in h._outs:
             jax.block_until_ready(f)
         self.stages[name] = self.stages.get(name, 0.0) + time.time() - t0
 

@@ -149,12 +149,19 @@ def pack(
     n_pad = n_pad if n_pad is not None else _round_up(max(n, lane_tile), lane_tile)
     degrees = graph.degrees
     max_deg = int(degrees.max()) if n else 0
+    pct_w = None  # computed at most once (O(n) pass over degrees)
+
+    def _pct_w():
+        nonlocal pct_w
+        if pct_w is None:
+            pct_w = max(int(np.percentile(degrees, ell_pct)) if n else 1, 1)
+        return pct_w
+
     if fmt == "auto":
         if n_pad * max(max_deg, 1) <= 1.5 * max(graph.nnz, 1):
             fmt = "ell"
         else:
-            pct_w = max(int(np.percentile(degrees, ell_pct)) if n else 1, 1)
-            fmt = "hyb" if pct_w * n_pad <= 1.5 * graph.nnz else "coo"
+            fmt = "hyb" if _pct_w() * n_pad <= 1.5 * graph.nnz else "coo"
 
     if fmt == "ell":
         ell, deg, spill_rows, _ = _pack_ell_np(
@@ -171,9 +178,8 @@ def pack(
         )
 
     if fmt == "hyb":
-        pct_w = max(int(np.percentile(degrees, ell_pct)) if n else 1, 1)
         ell, deg, spill_rows, spill_cols = _pack_ell_np(
-            graph.indptr, graph.indices, n, n_pad, pct_w
+            graph.indptr, graph.indices, n, n_pad, _pct_w()
         )
         rows, cols = _pack_coo_np(spill_rows, spill_cols, n_pad, lane_tile)
         return DeviceGraph(

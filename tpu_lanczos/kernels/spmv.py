@@ -68,14 +68,8 @@ def spmv(dg, x: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
         from tpu_lanczos.kernels import spmv_pallas2
 
         return spmv_pallas2.spmv_cst(dg, x, interpret=_interp())
-    # XLA paths
-    if dg.fmt == "ell":
-        return _ell_spmv(dg, x)
-    if dg.fmt == "coo":
-        return _coo_spmv(dg, x)
-    if dg.fmt == "hyb":
-        return _ell_spmv(dg, x) + _coo_spmv(dg, x)
-    raise ValueError(f"unknown format {dg.fmt!r}")
+    # XLA paths (single dispatch, shared with the cross-check oracle)
+    return spmv_xla(dg, x)
 
 
 def spmv_xla(dg: DeviceGraph, x: jnp.ndarray) -> jnp.ndarray:

@@ -12,7 +12,7 @@ self-consistency studies, writeup Table 5):
 - deflated vs plain rel stderr quantifies the variance reduction that
   the small-graph tests prove exactly (tests/test_stochastic.py).
 
-Appends JSON lines to bench_results/stochastic_r4.jsonl.
+Appends JSON lines to bench_results/stochastic_r5.jsonl.
 
 Usage:  python -m tpu_lanczos.eval.stochastic_bench [n] [m]
 """
@@ -60,7 +60,7 @@ def main():
     dg = best_device_pack(g)
     log(f"packed in {time.time()-t0:.1f}s")
 
-    out = os.path.join(ROOT, "bench_results", "stochastic_r4.jsonl")
+    out = os.path.join(ROOT, "bench_results", "stochastic_r5.jsonl")
     rows = []
 
     # ---- Estrada index: deflated, two disjoint seeds + plain baseline

@@ -34,8 +34,8 @@ def main(argv=None):
     ap.add_argument("--cache", default=".bench_cache")
     args = ap.parse_args(argv)
 
-    from tpu_lanczos.graphs.csr import CSRGraph
-    from tpu_lanczos.graphs import generators
+    import sys
+
     from tpu_lanczos.eval import oracle
     from tpu_lanczos.core.pipeline import expm_action
     from tpu_lanczos.core.lanczos_df import expm_action_df
@@ -44,57 +44,65 @@ def main(argv=None):
     enable_heap_reuse()
 
     os.makedirs(args.cache, exist_ok=True)
-    gpath = os.path.join(
-        args.cache, f"ba_{args.n}_{args.m}_{args.seed}_native.npz"
-    )
-    if os.path.exists(gpath):
-        z = np.load(gpath)
-        g = CSRGraph(indptr=z["indptr"], indices=z["indices"], n=int(z["n"]))
-    else:
-        # the cache key says _native: generate with the native sampler
-        # (bench.py's graph) so cache regeneration after a wipe serves
-        # the same graph the committed records measured
-        g = generators.barabasi_albert(args.n, args.m, seed=args.seed,
-                                       use_native=True)
-        np.savez(gpath, indptr=g.indptr, indices=g.indices, n=g.n)
+    # delegate to bench.py's cached loader (one flagship-graph key)
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    import bench
+
+    g = bench.load_graph(args.n, args.m, args.seed)
 
     x = np.ones(g.n, np.float64)
     t0 = time.time()
-    ref = oracle.expm_action(g, x, args.k)
+    # shifted oracle: the compare below stays finite for any spectrum
+    ref_s, shift_ref = oracle.expm_action_shifted(g, x, args.k)
     t_oracle = time.time() - t0
 
     dg = None
-    cpath = os.path.join(args.cache, f"cpg_{args.n}_{args.m}_{args.seed}.npz")
+    from tpu_lanczos.kernels.cpg import PACK_VERSION, load_cpg, pack_cpg
+
+    cpath = os.path.join(
+        args.cache,
+        f"cpg_{args.n}_{args.m}_{args.seed}_v{PACK_VERSION}_sub512.npz")
     import jax
 
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if on_tpu and os.path.exists(cpath):
-        from tpu_lanczos.kernels.cpg import load_cpg
-
         dg = load_cpg(cpath)
     if dg is None:
-        from tpu_lanczos.kernels.cpg import pack_cpg
+        dg = pack_cpg(g, sub=512)
+        if on_tpu:
+            from tpu_lanczos.kernels.cpg import save_cpg
 
-        dg = pack_cpg(g)
+            try:
+                save_cpg(dg, cpath)  # the check above can now ever hit
+            except Exception:
+                pass
 
     base = dict(backend=jax.default_backend(), n=g.n, nnz=g.nnz, k=args.k,
                 oracle_s=round(t_oracle, 1))
 
-    # f32 two-pass (compile, then timed run)
+    # f32 two-pass (compile, then timed run); compare on the oracle's
+    # SHIFTED scale — full_ans() materializes e^shift in f32 and
+    # overflows past lambda_max ~ 88 under value-based casting
     r32 = expm_action(g, None, args.k, dg=dg, low_mem=True, log_scale=True)
     t0 = time.time()
     r32 = expm_action(g, None, args.k, dg=dg, low_mem=True, log_scale=True)
     t32 = time.time() - t0
-    err32 = oracle.rel_error(r32.full_ans(), ref)
+    a32 = r32.ans.astype(np.float64) * np.exp(
+        float(r32.log_scale) - shift_ref)
+    err32 = oracle.rel_error(a32, ref_s)
     print(json.dumps(dict(base, pipeline="f32_two_pass", wall_s=round(t32, 3),
                           rel_err=float(f"{err32:.3e}"))), flush=True)
 
-    # df64 two-pass
-    rdf = expm_action_df(g, None, args.k, dg=dg)
+    # df64 two-pass (same shifted-scale compare)
+    rdf = expm_action_df(g, None, args.k, dg=dg, log_scale=True)
     t0 = time.time()
-    rdf = expm_action_df(g, None, args.k, dg=dg)
+    rdf = expm_action_df(g, None, args.k, dg=dg, log_scale=True)
     tdf = time.time() - t0
-    errdf = oracle.rel_error(rdf.ans, ref)
+    adf = rdf.ans * np.exp(float(rdf.log_scale) - shift_ref)
+    errdf = oracle.rel_error(adf, ref_s)
     print(json.dumps(dict(base, pipeline="df64_two_pass", wall_s=round(tdf, 3),
                           rel_err=float(f"{errdf:.3e}"))), flush=True)
     return 0

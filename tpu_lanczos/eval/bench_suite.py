@@ -97,7 +97,7 @@ def _accuracy(cfg, g, dg, k, cache_dir):
         # itself overflows f64 (rmat hubs reach lambda_max ~ sqrt(d_max)
         # well past that; the reference's own double pipeline printed
         # inf/nan in this regime, final_output1.txt:154-159)
-        opath = os.path.join(cache_dir, f"oracle_{cfg['name']}_k{k}_s.npz")
+        opath = oracle_cache_path(cfg, k, cache_dir)
         if os.path.exists(opath):
             z = np.load(opath)
             ref, s_ref = z["ans"], float(z["shift"])
@@ -120,6 +120,18 @@ def _accuracy(cfg, g, dg, k, cache_dir):
     a = a32 * np.exp(s32 - sdf)  # common log-scale
     err = float(np.linalg.norm(a - adf) / np.linalg.norm(adf))
     return err, "df64_selfcheck", round(time.time() - t0, 1)
+
+
+def oracle_cache_path(cfg, k: int, cache_dir: str) -> str:
+    """Oracle-answer cache key: carries every generator parameter like
+    the graph cache (build()) does, so retuning a config's size under
+    the same name cannot serve a stale oracle."""
+    import os
+
+    gen_keys = ("kind", "n", "m", "e", "side", "nx", "ny", "nz", "papers")
+    tag = "_".join(f"{key}{cfg[key]}" for key in gen_keys if key in cfg)
+    return os.path.join(cache_dir,
+                        f"oracle_{cfg['name']}_{tag}_k{k}_s.npz")
 
 
 def pack_cache_path(cfg, cache_dir=".bench_cache"):
@@ -296,8 +308,11 @@ def run_one(cfg, k=50, reps=3, cache_dir=".bench_cache", accuracy=True):
     tiles = None
     cyc_per_tile = None
     if fmt == "CPGGraph":
+        # BYTES, not element counts: l2 is int16 for sub > 256 packs
+        # (2 B/element), so nbytes is the honest traffic figure
         idx_bytes = sum(
-            int(np.prod(lv["l1"].shape)) + int(np.prod(lv["l2"].shape))
+            int(np.asarray(lv["l1"]).nbytes)
+            + int(np.asarray(lv["l2"]).nbytes)
             for lv in dg.levels
         )
         # the honest per-tile metric: measured cycles per executed tile

@@ -33,7 +33,8 @@ def run_one(cfg, k: int, cache_dir: str):
 
     from tpu_lanczos.core.lanczos_df import expm_action_df, expm_action_ks_df
     from tpu_lanczos.eval.bench_suite import (
-        ORACLE_N_MAX, build, pack_cache_path, save_pack_cache,
+        ORACLE_N_MAX, build, oracle_cache_path, pack_cache_path,
+        save_pack_cache,
     )
     from tpu_lanczos.kernels.cpg import load_cpg, pack_cpg
 
@@ -63,7 +64,7 @@ def run_one(cfg, k: int, cache_dir: str):
 
     if g.n <= ORACLE_N_MAX:
         t0 = time.time()
-        opath = os.path.join(cache_dir, f"oracle_{cfg['name']}_k{k}_s.npz")
+        opath = oracle_cache_path(cfg, k, cache_dir)
         if os.path.exists(opath):
             z = np.load(opath)
             ref, s_ref = z["ans"], float(z["shift"])

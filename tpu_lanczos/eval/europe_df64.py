@@ -147,7 +147,8 @@ def main(argv=None):
     identical = bool(
         np.array_equal(np.asarray(a1[0]), np.asarray(a2[0]))
         and np.array_equal(np.asarray(a1[1]), np.asarray(a2[1]))
-        and np.array_equal(np.asarray(b1[0]), np.asarray(b2[0])))
+        and np.array_equal(np.asarray(b1[0]), np.asarray(b2[0]))
+        and np.array_equal(np.asarray(b1[1]), np.asarray(b2[1])))
     print(json.dumps(dict(
         base, study="europe_df64_checkpoint",
         ckpt_chunk=args.ckpt_chunk,

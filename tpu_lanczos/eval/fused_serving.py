@@ -37,37 +37,35 @@ def main(argv=None):
     ap.add_argument("--cache", default=".bench_cache")
     args = ap.parse_args(argv)
 
+    import sys
+
     from tpu_lanczos.core.pipeline import expm_action_summary
-    from tpu_lanczos.graphs.csr import CSRGraph
-    from tpu_lanczos.graphs import generators
     from tpu_lanczos.utils import enable_compile_cache, enable_heap_reuse
 
     enable_compile_cache()
     enable_heap_reuse()
 
-    gpath = os.path.join(args.cache, f"ba_{args.n}_{args.m}_0_native.npz")
-    if os.path.exists(gpath):
-        z = np.load(gpath)
-        g = CSRGraph(indptr=z["indptr"], indices=z["indices"], n=int(z["n"]))
-    else:
-        # native sampler + save: the key is _native-suffixed and the CPG
-        # pack cache below must correspond to THIS graph on later runs
-        g = generators.barabasi_albert(args.n, args.m, seed=0,
-                                       use_native=True)
-        os.makedirs(args.cache, exist_ok=True)
-        np.savez(gpath, indptr=g.indptr, indices=g.indices, n=g.n)
+    # delegate to bench.py's cached loader (ONE definition of the
+    # flagship graph key, like eval/stochastic_bench does)
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    import bench
+
+    g = bench.load_graph(args.n, args.m, 0)
 
     import jax
 
-    dg = None
-    cpath = os.path.join(args.cache, f"cpg_{args.n}_{args.m}_0_v5_sub512.npz")
-    if jax.default_backend() not in ("cpu", "gpu") and os.path.exists(cpath):
-        from tpu_lanczos.kernels.cpg import load_cpg
+    from tpu_lanczos.kernels.cpg import PACK_VERSION, load_cpg, pack_cpg
 
+    dg = None
+    cpath = os.path.join(
+        args.cache,
+        f"cpg_{args.n}_{args.m}_0_v{PACK_VERSION}_sub512.npz")
+    if jax.default_backend() not in ("cpu", "gpu") and os.path.exists(cpath):
         dg = load_cpg(cpath)
     if dg is None:
-        from tpu_lanczos.kernels.cpg import pack_cpg
-
         dg = pack_cpg(g, sub=512)
 
     # warm both paths (compile + pack H2D)

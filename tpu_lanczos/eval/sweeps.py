@@ -29,6 +29,15 @@ def k_sweep(n=2000, edges=8000, seed=1, ks=(5, 10, 15, 20, 25, 30, 40),
     from tpu_lanczos.core.pipeline import expm_action
     from tpu_lanczos.eval import oracle
 
+    # f64 requires jax x64 — without it jnp silently truncates every
+    # array to f32 and the study floors at ~5e-7 instead of ~1e-14
+    # (the CLI enables this the same way, cli/main.py _main); on TPU
+    # x64 is emulated/slow, so pass dtype="float32" there instead
+    if dtype == "float64":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
     g = generators.uniform_random(n, edges, seed=seed)
     ref = oracle.expm_action_dense(g, np.ones(g.n))
     out = []

@@ -174,6 +174,27 @@ def test_expm_action_summary_matches_full():
     assert abs(s.log_scale - full.log_scale) < 1e-5
 
 
+def test_expm_action_summary_low_mem_matches():
+    """low_mem=True serves the summary via the two-pass Q-free pipeline
+    (O(n) memory): bit-compatible q_j regeneration means the SAME top-k
+    as the stored-Q host-eig summary."""
+    from tpu_lanczos.core.pipeline import expm_action_summary
+
+    g = generators.barabasi_albert(3000, 6, seed=11, use_native=False)
+    s_q = expm_action_summary(g, k=30, topk=10, dtype="float32",
+                              fmt="auto", eig_impl="host")
+    s_lm = expm_action_summary(g, k=30, topk=10, dtype="float32",
+                               fmt="auto", eig_impl="host", low_mem=True)
+    assert set(s_lm.top_nodes.tolist()) == set(s_q.top_nodes.tolist())
+    np.testing.assert_allclose(s_lm.top_values, s_q.top_values, rtol=1e-5)
+    np.testing.assert_allclose(s_lm.ans_norm, s_q.ans_norm, rtol=1e-5)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="low_mem"):
+        expm_action_summary(g, k=10, topk=5, eig_impl="device",
+                            low_mem=True)
+
+
 def test_expm_action_summary_fused_device_eig():
     """eig_impl='device' fuses the whole query into one program; on CPU
     the device eigh is LAPACK-grade, so it matches the host-eig summary

@@ -621,12 +621,24 @@ def _main(args) -> int:
                 print(f"  top-{args.topk} values (scaled): "
                       + " ".join(f"{res.ans[i]:.6e}" for i in idx))
                 return 0
+            eig = args.eig
+            if args.low_mem:
+                # two-pass Q-free serving at O(n) device memory (the
+                # europe-scale mode); its eigensolve runs on the host
+                # between the two passes, so the fused device program
+                # (which stores Q) does not apply
+                if eig == "device":
+                    print("note: --low-mem summary runs the two-pass "
+                          "host-eig path (--eig device needs stored Q)",
+                          file=sys.stderr)
+                eig = "host"
             srs = expm_action_summary(g, k=k, topk=args.topk, fmt=args.fmt,
                                       dtype=args.dtype, dg=dg,
                                       ell_pct=args.ell_pct,
-                                      eig_impl=args.eig)
+                                      eig_impl=eig, low_mem=args.low_mem)
             t_device = time.time() - t0
-            print(f"device summary pipeline: {t_device:.4f}s "
+            mode = " (two-pass Q-free)" if args.low_mem else ""
+            print(f"device summary pipeline{mode}: {t_device:.4f}s "
                   f"(includes compile on first run)")
             print(f"  ||ans|| = {srs.ans_norm:.6e}  "
                   f"log-scale shift = {srs.log_scale:.6f}")

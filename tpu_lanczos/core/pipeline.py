@@ -64,12 +64,16 @@ class SummaryResult:
 
 
 @partial(jax.jit, static_argnames=("topk",))
-def _summary_gemv(tmp, q_basis, mask, topk: int):
-    ans = tmp @ q_basis
+def _summary_topk(ans, mask, topk: int):
     nrm = jnp.linalg.norm(ans)
     neg = jnp.asarray(jnp.finfo(ans.dtype).min, ans.dtype)
     vals, idx = jax.lax.top_k(jnp.where(mask > 0, ans, neg), topk)
     return nrm, vals, idx
+
+
+@partial(jax.jit, static_argnames=("topk",))
+def _summary_gemv(tmp, q_basis, mask, topk: int):
+    return _summary_topk(tmp @ q_basis, mask, topk)
 
 
 @partial(jax.jit, static_argnames=("k", "topk", "spmv_impl"))
@@ -104,6 +108,7 @@ def expm_action_summary(
     dg: DeviceGraph | None = None,
     ell_pct: float = 98.0,
     eig_impl: str = "host",
+    low_mem: bool = False,
 ) -> SummaryResult:
     """Pipeline variant that reduces the answer ON DEVICE to its top-k
     entries + norm, so the device->host transfer is O(topk) instead of
@@ -116,7 +121,17 @@ def expm_action_summary(
     sync — the fastest single-query path through a high-RTT link; the
     device eigh's f32 floor puts ~1e-6-level noise on the values (the
     host default keeps LAPACK-f64 coefficients at the cost of one extra
-    sync + dispatch)."""
+    sync + dispatch).
+
+    ``low_mem=True`` serves the summary through the two-pass Q-free
+    pipeline — O(n) device memory instead of O(k*n), the europe-scale
+    serving mode: alpha/beta pass, host eigensolve, then a recombine
+    pass whose answer is reduced to (top-k, norm) ON DEVICE before the
+    O(topk) fetch.  Incompatible with eig_impl="device" (the fused
+    program stores Q)."""
+    if low_mem and eig_impl == "device":
+        raise ValueError("low_mem summary uses the two-pass host-eig "
+                         "path (the fused device program stores Q)")
     k = int(max(min(k, graph.n - 1), 1))
     if dg is None:
         if fmt == "cst":
@@ -144,6 +159,34 @@ def expm_action_summary(
         old_of_new = np.full(dg.n_pad, -1, dtype=np.int64)
         old_of_new[noo] = np.arange(graph.n)
         return old_of_new[idx_h]
+
+    if low_mem:
+        # two-pass Q-free serving: O(n) device memory, O(topk) fetch
+        from tpu_lanczos.core import tridiag
+        from tpu_lanczos.core.lanczos import (lanczos_alphabeta,
+                                              lanczos_recombine)
+
+        alpha, beta, x_norm = lanczos_alphabeta(dg, x_dev, k,
+                                                spmv_impl=spmv_impl)
+        alpha_h, beta_h, x_norm_h = jax.device_get((alpha, beta, x_norm))
+        beta_h = beta_h[: k - 1]
+        evals, evecs = tridiag.eigh_host(alpha_h, beta_h)
+        tmp, shift = expmv.coefficients(evals, evecs, float(x_norm_h),
+                                        xp=np)
+        ans_scaled = lanczos_recombine(
+            dg, x_dev, jnp.asarray(tmp.astype(dtype)), k,
+            spmv_impl=spmv_impl)
+        nrm, vals, idx = _summary_topk(ans_scaled, mask, topk)
+        return SummaryResult(
+            top_values=np.asarray(vals),
+            top_nodes=map_nodes(np.asarray(idx)),
+            ans_norm=float(nrm),
+            log_scale=float(shift),
+            alpha=alpha_h,
+            beta=beta_h,
+            x_norm=float(x_norm_h),
+            k=k,
+        )
 
     if eig_impl == "device":
         # ONE program + ONE O(topk) host sync for the whole query

@@ -31,10 +31,11 @@ import numpy as np
 
 
 def _cyc_tile(sub):
-    # DESIGN.md round-2 fitted model: 260*(sub/128) + 50*(sub/128)^2
-    # (~723 @ 256, ~1850 @ 512 measured)
-    r = sub / 128
-    return 260.0 * r + 50.0 * r * r
+    # the ONE fitted per-tile cost model lives in pack_scan (classic
+    # layout); importing it keeps the two scanners comparable
+    from tpu_lanczos.eval.pack_scan import cyc_per_tile
+
+    return cyc_per_tile(sub)
 
 
 def main(argv=None):
@@ -58,6 +59,10 @@ def main(argv=None):
     p = z["new_of_old"]
     n_pad = int(z["realmask"].shape[0])
     sub = int(z["sub"])
+    layout = str(z["layout"]) if "layout" in z else "classic"
+    assert layout == "classic", (
+        "hybrid_scan's cost model and tile semantics are classic-layout "
+        f"only (pack is {layout!r})")
     prod_tiles = sum(
         int(z[f"lv{i}_counts"].sum()) for i in range(int(z["n_levels"])))
     cyc_t = _cyc_tile(sub)

@@ -105,16 +105,18 @@ def scan_config(g, theta: int, theta_s: int | None, sub: int,
     s_base += n_units
     n_units += int(s_extra.sum())
 
+    # the cumsum-based s_base/d_base layout makes the split ids
+    # CONTIGUOUS across units, so both lists are single aranges — the
+    # per-unit Python loop cost O(split units) tiny allocations on the
+    # 4M-node kinds, defeating the 'host sweep in seconds' point
     nz_s = np.nonzero(s_extra)[0]
     bc_src = np.repeat(nz_s, s_extra[nz_s])
-    bc_dst = np.concatenate([
-        np.arange(s_base[u], s_base[u] + s_extra[u]) for u in nz_s
-    ]) if nz_s.size else np.zeros(0, np.int64)
+    first_s = s_base[nz_s[0]] if nz_s.size else 0
+    bc_dst = first_s + np.arange(int(s_extra.sum()), dtype=np.int64)
 
     nz_d = np.nonzero(d_extra)[0]
-    r_src = np.concatenate([
-        np.arange(d_base[u], d_base[u] + d_extra[u]) for u in nz_d
-    ]) if nz_d.size else np.zeros(0, np.int64)
+    first_d = d_base[nz_d[0]] if nz_d.size else 0
+    r_src = first_d + np.arange(int(d_extra.sum()), dtype=np.int64)
     r_dst = np.repeat(nz_d, d_extra[nz_d])
 
     deg_u = np.zeros(n_units, np.int64)

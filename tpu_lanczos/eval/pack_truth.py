@@ -57,6 +57,15 @@ def main(argv=None):
     ap.add_argument("--warm-reps", type=int, default=2)
     args = ap.parse_args(argv)
 
+    # actually honor the 'CPU-only: never touches the TPU' claim:
+    # pack_cpg's _finalize jnp.asarray's every multi-GB level array,
+    # which on the default backend means TPU init + H2D through the
+    # tunnel — contaminating exactly the COLD/WARM attribution this
+    # tool exists to measure (prewarm.py guards the same way)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     from tpu_lanczos.eval.bench_suite import CONFIGS
     from tpu_lanczos.kernels.cpg import pack_cpg
     from tpu_lanczos.utils import enable_heap_reuse

@@ -84,7 +84,9 @@ def main():
     # disjoint-seed agreement in scaled space
     ra, rb = runs["a"], runs["b"]
     diff = abs(np.exp(ra.log_estimate - rb.log_estimate) - 1.0)
-    budget = 3.0 * (ra.rel_stderr + rb.rel_stderr)
+    # independent seeds: stderrs combine in QUADRATURE, not by sum —
+    # the arithmetic sum inflated the acceptance budget up to sqrt(2)
+    budget = 3.0 * float(np.hypot(ra.rel_stderr, rb.rel_stderr))
     log(f"seed agreement: rel diff {diff:.3e} vs 3-sigma budget "
         f"{budget:.3e} -> {'OK' if diff <= budget else 'FAIL'}")
     rows.append(dict(study=f"estrada_bn{n//1000}k_seed_agreement",

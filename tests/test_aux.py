@@ -58,9 +58,13 @@ def test_checkpoint_resume_bit_identical(tmp_path):
     assert LanczosCheckpoint.load(p).j_done == k
 
     # simulate an interrupted run: build a genuine snapshot at j=14, then
-    # resume from it
+    # resume from it.  The fingerprint must include the START VECTOR
+    # (lanczos_checkpointed computes it with x=x) or the snapshot is
+    # silently rejected and the "resume" is a fresh run that proves
+    # nothing.
     from tpu_lanczos.core.lanczos import lanczos_init, lanczos_range
 
+    from tpu_lanczos.core import checkpoint as _ck
     from tpu_lanczos.core.checkpoint import run_fingerprint
 
     carry, x_norm = lanczos_init(dg, x, k)
@@ -70,9 +74,24 @@ def test_checkpoint_resume_bit_identical(tmp_path):
         q=np.asarray(carry[0]), q_prev=np.asarray(carry[1]),
         q_basis=np.asarray(carry[2]), alpha=np.asarray(carry[3]),
         beta=np.asarray(carry[4]), x_norm=float(x_norm),
-        fingerprint=run_fingerprint(dg, x.dtype, k, False, "auto"),
+        fingerprint=run_fingerprint(dg, x.dtype, k, False, "auto", x=x),
     ).save(p)
-    resumed = lanczos_checkpointed(dg, x, k, checkpoint_path=p, chunk=7)
+    # prove the resume actually starts at j=14 (not a silent fresh run):
+    # record the j0 of every lanczos_range call
+    j0_seen = []
+    real_range = _ck.lanczos_range
+
+    def spy_range(dg_, carry_, j0, j1, **kw):
+        j0_seen.append(int(j0))
+        return real_range(dg_, carry_, j0, j1, **kw)
+
+    _ck.lanczos_range = spy_range
+    try:
+        resumed = lanczos_checkpointed(dg, x, k, checkpoint_path=p,
+                                       chunk=7)
+    finally:
+        _ck.lanczos_range = real_range
+    assert j0_seen[0] == 14, f"resume started at {j0_seen[0]}, not 14"
 
     np.testing.assert_array_equal(np.asarray(resumed.alpha), np.asarray(ref.alpha))
     np.testing.assert_array_equal(np.asarray(resumed.beta), np.asarray(ref.beta))

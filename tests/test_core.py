@@ -107,10 +107,20 @@ def test_log_scale_output_avoids_overflow():
     """The overflow guard: a graph whose lambda_max makes e^lambda overflow
     f32 (the reference's NaN hazard, single_double.txt:27-31) must still
     produce finite scaled output + log_scale."""
-    g = generators.barabasi_albert(400, 20, seed=3, use_native=False)  # dense-ish
+    # complete graph on 120 nodes: lambda_max = 119 and e^119 ~ 5e51
+    # GENUINELY overflows f32 (3.4e38) — a 400-node BA graph's
+    # lambda_max ~ 57 never did, so a broken guard used to pass the
+    # finiteness check
+    iu, ju = np.triu_indices(120, k=1)
+    from tpu_lanczos.graphs.csr import CSRGraph as _CSR
+
+    g = _CSR.from_edges(120, np.stack([iu, ju], axis=1))
     res32 = expm_action(g, k=30, dtype="float32", log_scale=True)
     assert np.all(np.isfinite(res32.ans))
-    assert res32.log_scale is not None
+    assert res32.log_scale is not None and res32.log_scale > 100
+    # the unguarded path really does overflow on this graph
+    res_raw = expm_action(g, k=30, dtype="float32", log_scale=False)
+    assert not np.all(np.isfinite(res_raw.ans))
     # ranking agrees with the f64 truth
     ref = oracle.expm_action(g, np.ones(g.n), 30)
     top_ref = np.argsort(ref)[-10:]
@@ -188,9 +198,7 @@ def test_expm_action_summary_low_mem_matches():
     assert set(s_lm.top_nodes.tolist()) == set(s_q.top_nodes.tolist())
     np.testing.assert_allclose(s_lm.top_values, s_q.top_values, rtol=1e-5)
     np.testing.assert_allclose(s_lm.ans_norm, s_q.ans_norm, rtol=1e-5)
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="low_mem"):
+    with pytest.raises(ValueError, match="low_mem"):
         expm_action_summary(g, k=10, topk=5, eig_impl="device",
                             low_mem=True)
 

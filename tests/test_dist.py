@@ -63,8 +63,12 @@ def test_balanced_permutation_is_permutation_and_balanced():
     g = generators.barabasi_albert(3000, 8, seed=0, use_native=False)
     for d in (2, 8):
         perm = balanced_permutation(g, d)
-        assert np.array_equal(np.sort(perm % (len(perm) and 10**9)), np.sort(perm))
+        # injectivity + explicit range: n distinct non-negative
+        # positions inside [0, d * n_loc) with n_loc = ceil(n / d)
+        # (the default snake deal's max shard size)
         assert len(np.unique(perm)) == g.n
+        n_loc_d = int(np.ceil(g.n / d))
+        assert perm.min() >= 0 and perm.max() < d * n_loc_d
         n_loc = int(np.ceil(g.n / d))
         # nnz balance within 15% even for power-law degree graphs
         sh = balanced_permutation(g, d, n_loc)[g.row_ids()] // n_loc

@@ -57,14 +57,15 @@ def test_path_graph_line():
 
 
 def test_complete_graph_dense():
-    """Densest case: every block of A is full."""
-    n = 60
+    """Densest case: every block of A is full.  n=120 so
+    lambda_max = 119 and e^119 GENUINELY overflows f32 (e^59 never did
+    — 4e25 fits comfortably in 3.4e38); log_scale must survive."""
+    n = 120
     iu, ju = np.triu_indices(n, k=1)
     g = CSRGraph.from_edges(n, np.stack([iu, ju], axis=1))
-    # lambda_max = n-1 = 59 -> e^59 overflows f32; log_scale must survive
     res = expm_action(g, k=20, dtype="float32", log_scale=True)
     assert np.all(np.isfinite(res.ans))
-    assert res.log_scale == pytest.approx(59.0, abs=0.5)
+    assert res.log_scale == pytest.approx(119.0, abs=0.5)
 
 
 def test_mtx_reader_rejects_nonsquare(tmp_path):
